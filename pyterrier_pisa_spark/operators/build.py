@@ -1,0 +1,174 @@
+"""Index-build dataflow operators (SURVEY.md §2.3) — pure DataFrame logical
+plans; persistence/sharding lives in ``sources/index_store.py``.
+
+Dataflow (Spark-first re-expression of the reference's
+fwd-build -> invert -> merge pipeline, ``_pisathon.cpp:126-178`` +
+``indexers.py:84-144``):
+
+  corpus (docno, content)
+    -> termvec pandas UDF  (per-doc term/tf arrays + doclen; map-side tf, no
+       tokens shuffle — replaces the reference's forward-index batch parse)
+    -> explode             (docid, term, tf, doclen)
+    -> lexicon             groupBy(term): df, cf + dense sorted term_id
+                           (reference B4 lexicographic termid remap,
+                           ``indexers.py:125-138``)
+    -> docmap/stats        doclen, sha256 lineage, avgdl
+
+Dense-id assignment (docid by docno, term_id by term) uses the scalable
+range-partition + per-partition-offset technique, not a single-partition
+global window — a ``Window.orderBy`` with no partition key would serialize
+the whole corpus through one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenizer import termvec_udf
+
+DEFAULT_K1 = 0.9
+DEFAULT_B = 0.4
+DEFAULT_BLOCK_SIZE = 128
+
+
+def with_docno(df: DataFrame) -> DataFrame:
+    """Synthesize the external document key for the source-code corpus shape
+    ``(repo, path, commit, lang, content)`` (BASELINE.json input_hint):
+    ``docno = repo || '/' || path || '@' || commit`` plus the sha256 lineage
+    column (per-row invariant: content sha256 equality ingest -> index)."""
+    return df.withColumn(
+        "docno", F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a dense 0-based id following the total order of ``order_cols``.
+
+    Scalable replacement for ``row_number().over(Window.orderBy(...))`` (which
+    funnels everything through ONE task): range-partition on the order keys,
+    sort within partitions, compute a local rank per partition, then add the
+    exclusive prefix-sum of partition counts (tiny driver-side cumsum over
+    ~num_partitions values). The intermediate is persisted so the rank job and
+    the count job see the same (sampled) range boundaries.
+
+    Mirrors the reference's dense ingestion-order docid (``indexers.py:68-75``)
+    and sorted-term termid (``indexers.py:125-138``) with a deterministic
+    total order, which is what the (score DESC, docid ASC) tie-break contract
+    requires (``_pisathon.cpp:512-515``).
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+
+    part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    part = part.sortWithinPartitions(*order_cols)
+
+    out_schema = T.StructType(
+        list(part.schema.fields)
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_lrank", T.LongType())]
+    )
+
+    def _add_rank(batches):
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_lrank"] = range(seen, seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    ranked = part.mapInPandas(_add_rank, schema=out_schema)
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {r["_pid"]: r["cnt"] for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _offset long"
+    )
+    out = (
+        ranked.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, (F.col("_offset") + F.col("_lrank")).cast("long"))
+        .drop("_pid", "_lrank", "_offset")
+    )
+    return out
+
+
+def build_tf(corpus: DataFrame, stemmer: str = "porter2") -> DataFrame:
+    """corpus(docid, content, ...) -> (docid, term, tf, doclen).
+
+    tf is computed inside the Arrow UDF (one pass over tokens per doc), so the
+    only posting-granularity shuffle in the whole build is the later
+    repartition-by-term — the reference's FIFO/batch boundary
+    (``indexers.py:61-75``) becomes this single exchange.
+    """
+    tv = corpus.withColumn("_tv", termvec_udf(stemmer)(F.col("content")))
+    return (
+        tv.select(
+            "docid",
+            F.col("_tv.doclen").alias("doclen"),
+            F.explode(F.arrays_zip(F.col("_tv.terms").alias("term"), F.col("_tv.tfs").alias("tf"))).alias("_e"),
+        )
+        .select("docid", F.col("_e.term").alias("term"), F.col("_e.tf").cast("int").alias("tf"), "doclen")
+    )
+
+
+def build_doclens(corpus: DataFrame, stemmer: str = "porter2") -> DataFrame:
+    """(docid, doclen) straight from the termvec UDF (no shuffle)."""
+    return corpus.select(
+        "docid", F.col("_tv.doclen").alias("doclen")
+    ) if "_tv" in corpus.columns else corpus.withColumn(
+        "_tv", termvec_udf(stemmer)(F.col("content"))
+    ).select("docid", F.col("_tv.doclen").alias("doclen"))
+
+
+def build_lexicon(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(term, term_id, df, cf): document frequency + collection frequency per
+    term, dense term_id in lexicographic term order (reference sorted-lexicon
+    contract, ``indexers.py:125,133-134``). groupBy(term) is a partial-agg
+    (map-side combine) shuffle of one small row per distinct (partition, term)
+    — Zipf skew on raw postings does NOT hit this stage."""
+    agg = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    return assign_dense_ids(agg, ["term"], "term_id", num_partitions)
+
+
+def build_docmap(corpus_ids: DataFrame, doclens: DataFrame) -> DataFrame:
+    """(docid, docno, doclen, content_sha256) — replaces fwd.documents +
+    fwd.doclex + inv.sizes (reference ``indexers.py:88,96,115``) and carries
+    the sha256 lineage invariant."""
+    cols = ["docid", "docno"] + (
+        ["content_sha256"] if "content_sha256" in corpus_ids.columns else []
+    )
+    out = corpus_ids.select(*cols).join(doclens, "docid")
+    if "content_sha256" not in out.columns:
+        out = out.withColumn("content_sha256", F.lit(None).cast("string"))
+    return out.select("docid", "docno", "doclen", "content_sha256")
+
+
+def collection_stats(docmap: DataFrame) -> dict:
+    """num_docs / num_terms-independent global stats (reference
+    ``num_docs()``/``num_terms()`` accessors, ``__init__.py:295-306``)."""
+    row = docmap.agg(
+        F.count("*").alias("num_docs"),
+        F.sum("doclen").alias("total_doclen"),
+    ).collect()[0]
+    num_docs = row["num_docs"]
+    total = row["total_doclen"] or 0
+    return {
+        "num_docs": int(num_docs),
+        "total_doclen": int(total),
+        "avg_doclen": (float(total) / num_docs) if num_docs else 0.0,
+    }

@@ -1,0 +1,90 @@
+"""Posting-list compression codec: delta-gap + LEB128 varint over numpy.
+
+Replaces the reference's 14 SIMD codecs (``__init__.py:72-89``,
+``_pisathon.cpp:256-265``) with ONE codec — the reference's own test matrix
+proves encodings are rank-preserving perf variants (``tests/test_variants.py``),
+and BASELINE.json's north_star pins "delta-gap + varint-byte compressed"
+blocks of 128 postings. Both encode and decode are fully vectorized numpy
+(no per-value Python loops; the only loops are over byte-position (<=10
+iterations) — Arrow-batch friendly inside pandas UDFs).
+
+Layout per block (<= block_size postings, docids strictly ascending):
+  docids_delta: varint bytes of [docid[0] - base, docid[i] - docid[i-1], ...]
+  tfs:          varint bytes of [tf...]
+where ``base`` is the block's recorded ``docid_first`` predecessor convention:
+we store the first docid as a delta from 0 (raw value), keeping blocks
+self-contained and independently decodable (needed for block-max skipping:
+a skipped block is never touched).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))[:-1]
+    out = np.zeros(int(offsets[-1] + nbytes[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | bytearray | memoryview, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    n_values = int(is_last.sum())
+    grp = np.zeros(b.shape, dtype=np.int64)
+    grp[1:] = np.cumsum(is_last[:-1])
+    starts = np.zeros(n_values, dtype=np.int64)
+    starts[1:] = np.flatnonzero(is_last)[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[grp]
+    vals = np.zeros(n_values, dtype=np.uint64)
+    np.bitwise_or.at(vals, grp, (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64)))
+    if count is not None and n_values != count:
+        raise ValueError(f"varint_decode: expected {count} values, got {n_values}")
+    return vals
+
+
+def delta_encode(docids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending docids -> gaps (first value raw). Equivalent to the
+    SQL-oracle form ``docid - lag(docid) over (partition by term order by
+    docid)`` with the first gap = docid (SURVEY.md §2.5)."""
+    d = np.asarray(docids, dtype=np.int64)
+    out = np.empty_like(d)
+    if d.size:
+        out[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
+
+
+def encode_block(docids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    return varint_encode(delta_encode(docids).astype(np.uint64)), varint_encode(
+        np.asarray(tfs, dtype=np.uint64)
+    )
+
+
+def decode_block(docids_delta: bytes, tfs: bytes, count: int) -> tuple[np.ndarray, np.ndarray]:
+    d = delta_decode(varint_decode(docids_delta, count).astype(np.int64))
+    t = varint_decode(tfs, count).astype(np.int64)
+    return d, t

@@ -1,0 +1,130 @@
+"""Retrieval dataflow (reference §2.4): exhaustive DAAT-OR (``ranked_or``,
+``_pisathon.cpp:339-346``) and conjunctive AND (``ranked_and``,
+``_pisathon.cpp:322-338``) as pure DataFrame plans, plus the shared
+stable top-k (``(score DESC, docid ASC)`` tie-break + 0-based rank,
+``_pisathon.cpp:512-528``).
+
+The exhaustive plan is the correctness ORACLE for the pruned block-max kernel
+(``operators/wand.py``) — the reference's WAND variants are proven
+rank-preserving perf variants by its own test matrix
+(``tests/test_variants.py:7-28``); we adopt the same contract.
+
+Plan shape (one broadcast, one agg shuffle, one window shuffle):
+  query_terms (tiny, broadcast)  ⋈  tf/postings on term   [broadcast-hash join]
+  -> per-posting partial score (whole-stage codegen'd Column math)
+  -> groupBy(qid, docid).sum(score)    [partial agg, map-side combine]
+  -> window top-k per qid              [WindowGroupLimit pushes k down]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stopwords import get_stopwords
+from ..functions.tokenizer import tokenize_queries
+from . import score as S
+
+DEFAULT_NUM_RESULTS = 1000  # reference default k (``__init__.py:223,434``)
+
+
+def query_terms_df(
+    spark: SparkSession,
+    queries: list[tuple[str, str]],
+    stemmer: str = "porter2",
+    stopwords="none",
+) -> DataFrame:
+    """Parse raw queries driver-side (queries are tiny by contract) into a
+    (qid, term, qweight) DataFrame to broadcast. Stopword + OOV drop follow
+    the reference's query-time-only semantics (``_pisathon.cpp:494-505``)."""
+    stops = get_stopwords(stopwords)
+    rows = tokenize_queries(queries, stemmer=stemmer, stopwords=stops)
+    return spark.createDataFrame(rows or [], schema="qid string, term string, qweight double")
+
+
+def query_toks_df(spark: SparkSession, queries_toks: list[tuple[str, dict]],
+                  toks_scale: float = 100.0) -> DataFrame:
+    """Pretokenized query path (reference ``__init__.py:485-495`` +
+    ``_pisathon.cpp:463-492``): weights scaled by toks_scale then truncated to
+    int (term repeated int(w) times == weight multiplier int(w)); no
+    stemming, no stopword filtering on this path."""
+    rows = []
+    for qid, toks in queries_toks:
+        for term, w in toks.items():
+            iw = int(float(w) * toks_scale)
+            if iw > 0:
+                rows.append((str(qid), str(term), float(iw)))
+    return spark.createDataFrame(rows or [], schema="qid string, term string, qweight double")
+
+
+def attach_scores(
+    qterms: DataFrame,
+    tf: DataFrame,
+    lexicon: DataFrame,
+    stats: dict,
+    scorer: str = "bm25",
+    k1: float = 0.9,
+    b: float = 0.4,
+    mu: float = 1000.0,
+    c: float = 1.0,
+) -> DataFrame:
+    """(qid, term, qweight) ⋈ lexicon ⋈ tf -> per-posting partial scores.
+    OOV terms drop via the inner lexicon join (reference termlex-miss drop,
+    ``_pisathon.cpp:498-505``)."""
+    q = F.broadcast(qterms.join(lexicon.select("term", "term_id", "df", "cf"), "term"))
+    j = q.join(tf, "term")
+    tf_c, dl_c = F.col("tf").cast("double"), F.col("doclen").cast("double")
+    n, avgdl, total = stats["num_docs"], stats["avg_doclen"], stats["total_doclen"]
+    if scorer == "bm25":
+        part = S.bm25_col(tf_c, dl_c, F.col("df").cast("double"), n, avgdl, k1, b)
+    elif scorer == "qld":
+        part = S.qld_col(tf_c, dl_c, F.col("cf").cast("double"), total, mu)
+    elif scorer == "pl2":
+        part = S.pl2_col(tf_c, dl_c, F.col("cf").cast("double"), n, avgdl, c)
+    elif scorer == "dph":
+        part = S.dph_col(tf_c, dl_c, F.col("cf").cast("double"), n, avgdl)
+    elif scorer == "quantized":
+        part = S.quantized_col(tf_c, F.lit(1.0))
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+    return j.withColumn("partial", part * F.col("qweight"))
+
+
+def ranked_or(scored: DataFrame) -> DataFrame:
+    """Exhaustive disjunctive aggregation (reference R5)."""
+    return scored.groupBy("qid", "docid").agg(F.sum("partial").alias("score"))
+
+
+def ranked_and(scored: DataFrame, qterms_with_counts: DataFrame) -> DataFrame:
+    """Conjunctive: keep docs matching ALL query terms (reference R6,
+    ``ranked_and`` / ``block_max_ranked_and``)."""
+    agg = scored.groupBy("qid", "docid").agg(
+        F.sum("partial").alias("score"), F.count("*").alias("nmatch")
+    )
+    return (
+        agg.join(F.broadcast(qterms_with_counts), "qid")
+        .filter(F.col("nmatch") == F.col("n_query_terms"))
+        .select("qid", "docid", "score")
+    )
+
+
+def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
+    """Stable top-k: (score DESC, docid ASC), 0-based rank (reference
+    ``_pisathon.cpp:512-528``). Spark compiles the row_number filter into
+    WindowGroupLimit, so only k rows per qid survive the window shuffle."""
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w) - F.lit(1))
+        .filter(F.col("rank") < k)
+    )
+
+
+def finalize(results: DataFrame, docmap: DataFrame, queries_df: DataFrame | None = None) -> DataFrame:
+    """docid -> docno decode + join-back of query columns (reference
+    R13/R14, ``_pisathon.cpp:434,523`` + ``__init__.py:517-521``); float32
+    score dtype pinned by the reference (``__init__.py:500-503``)."""
+    out = results.join(docmap.select("docid", "docno"), "docid")
+    if queries_df is not None:
+        out = out.join(F.broadcast(queries_df), "qid")
+    cols = ["qid"] + (["query"] if queries_df is not None else []) + ["docid", "docno", "score", "rank"]
+    return out.select(*cols).withColumn("score", F.col("score").cast("float"))

@@ -1,0 +1,71 @@
+"""Varint + delta-gap codec roundtrip properties (SURVEY.md §5 strategy (a))."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pyterrier_pisa_spark.operators.codec import (
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    back = varint_decode(varint_encode(arr))
+    assert back.tolist() == [v for v in values]
+
+
+def test_varint_known_bytes():
+    # LEB128 single-byte / multi-byte boundaries
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert varint_decode(b"\xac\x02").tolist() == [300]
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").tolist() == []
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200, unique=True)
+)
+def test_delta_roundtrip(docids):
+    d = np.sort(np.array(docids, dtype=np.int64))
+    assert delta_decode(delta_encode(d)).tolist() == d.tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=0,
+        max_size=128,
+    )
+)
+def test_block_roundtrip(postings):
+    seen = {}
+    for d, t in postings:
+        seen[d] = t
+    docids = np.array(sorted(seen), dtype=np.int64)
+    tfs = np.array([seen[d] for d in sorted(seen)], dtype=np.int64)
+    db, tb = encode_block(docids, tfs)
+    d2, t2 = decode_block(db, tb, len(docids))
+    assert d2.tolist() == docids.tolist()
+    assert t2.tolist() == tfs.tolist()
+
+
+def test_compression_actually_compresses():
+    # dense ascending docids -> gaps of 1 -> 1 byte each
+    docids = np.arange(10_000, dtype=np.int64) * 3 + 7
+    tfs = np.ones(10_000, dtype=np.int64)
+    db, tb = encode_block(docids, tfs)
+    assert len(db) < 10_050  # ~1 byte per gap (gap=3)
+    assert len(tb) == 10_000
