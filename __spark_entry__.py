@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (BM25 top-k over the sf0.001
+documents corpus through the full index-build + retrieval pipeline);
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+(SURVEY.md §2), checked against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
@@ -15,24 +14,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over /root/testdata/sf0.001
+    documents and answer the embedded query set with exhaustive BM25 top-k."""
+    from pyterrier_pisa_spark.plans.entry_queries import q_bm25_topk
+
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pyterrier_pisa_spark.plans.entry_queries import IR_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(IR_QUERIES)
+    try:
+        from pyterrier_pisa_spark.plans.entry_queries import PIPELINE_QUERIES
+
+        out.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyterrier_pisa_spark.plans.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,308 @@
+"""Operator-level query definitions for the driver contract
+(``__spark_entry__.py``): each function takes (spark, sf_dir) and returns a
+DataFrame; ``ORACLES`` holds the equivalent DuckDB ANSI SQL over the same
+parquet (views: region nation customer supplier part orders lineitem events
+documents embeddings).
+
+Every entry routes through the engine's REAL operators (termvec UDF, codec,
+lexicon/dense-id assignment, scoring, top-k) — the SQL is the independent
+oracle, not the implementation. Column names are aliased identically on both
+sides (driver hashes values under sorted column names).
+
+All corpus entries use stemmer='none' so the oracle is SQL-expressible
+(Porter2 has no SQL equivalent; stemming is pinned by pytest goldens
+instead — SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import build as B
+from ..operators import retrieve as R
+from ..operators.codec import decode_block, encode_block
+from ..plans.pipeline import LogicalIndex, build_logical_index
+from ..sources.corpus import load_documents
+
+# Fixed embedded query set over the testdata ``documents`` vocabulary
+# (FIXTURES.md §3: includes an OOV term, a very common term, a rare pair).
+QUERIES = [
+    ("q1", "spark query"),
+    ("q2", "the fast join"),
+    ("q3", "stream batch window merge"),
+    ("q4", "qzzyx spark"),  # OOV term dropped
+    ("q5", "customer"),
+]
+TOPK_K = 10
+
+# Shared DuckDB CTE: tokenization of documents (lowercase alnum runs) with
+# per-doc term frequencies — must match the termvec UDF with stemmer='none'.
+_SQL_TOKS = """
+toks AS (
+    SELECT doc_id, tt.term AS term
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ) tt
+    WHERE tt.term <> ''
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, count(*)::BIGINT AS doclen FROM toks GROUP BY doc_id
+),
+lex AS (
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+           (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id
+    FROM tf GROUP BY term
+),
+stats AS (
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
+           (SELECT sum(doclen) FROM dl)::BIGINT AS total_doclen,
+           (SELECT sum(doclen) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avg_doclen
+)
+"""
+
+_SQL_QUERY_TERMS = (
+    "qterms(qid, term, qweight) AS (VALUES "
+    + ", ".join(
+        "('%s', '%s', %d.0)" % (qid, t, sum(1 for x in q.split() if x == t))
+        for qid, q in QUERIES
+        for t in sorted(set(q.split()))
+    )
+    + ")"
+)
+
+
+def _index(spark: SparkSession, sf_dir: str) -> LogicalIndex:
+    # doc_id is already a dense id in the testdata -> docid := doc_id (no shuffle)
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("docno"),
+        F.col("text").alias("content"),
+    )
+    return build_logical_index(corpus, stemmer="none", id_col="doc_id", cache=False)
+
+
+# --------------------------------------------------------------- IR operators
+
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.tf.select(F.col("docid").alias("doc_id"), "term", F.col("tf").cast("long").alias("tf"))
+
+
+def q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.docmap.select(F.col("docid").alias("doc_id"), F.col("doclen").cast("long").alias("doclen")).filter(
+        F.col("doclen") > 0
+    )
+
+
+def q_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.lexicon.select("term", F.col("term_id").cast("long").alias("term_id"),
+                              F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf"))
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.stats["num_docs"], idx.num_terms(), idx.stats["total_doclen"],
+          round(idx.stats["avg_doclen"], 6))],
+        schema="num_docs long, num_terms long, total_doclen long, avg_doclen double",
+    )
+
+
+def q_delta_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gaps via a REAL encode->decode roundtrip through the varint codec
+    (per term), compared against the SQL lag() oracle."""
+    idx = _index(spark, sf_dir)
+
+    def _roundtrip(batches):
+        import numpy as np
+
+        # concat the partition's batches: a term's postings must be processed
+        # together (Arrow batch boundaries would otherwise split a term)
+        chunks = list(batches)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            for term, grp in pdf.groupby("term"):
+                docids = np.sort(grp["docid"].to_numpy())
+                tfs = np.ones(len(docids), dtype=np.int64)
+                db, tb = encode_block(docids, tfs)
+                d2, _ = decode_block(db, tb, len(docids))
+                gaps = np.empty_like(d2)
+                gaps[0] = d2[0]
+                gaps[1:] = d2[1:] - d2[:-1]
+                yield pd.DataFrame({"term": term, "doc_id": d2, "gap": gaps})
+
+    shuffled = idx.tf.select("term", "docid").repartition(8, "term")
+    return shuffled.mapInPandas(_roundtrip, schema="term string, doc_id long, gap long")
+
+
+def q_block_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-128-posting-block max tf / max docid / count (the block-max
+    metadata of SURVEY §2.3 B7, tf flavor for integer-exact oracle)."""
+    idx = _index(spark, sf_dir)
+    w = Window.partitionBy("term").orderBy("docid")
+    blocks = (
+        idx.tf.withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn("block_id", (F.col("pos") / 128).cast("long"))
+        .groupBy("term", "block_id")
+        .agg(
+            F.max("tf").cast("long").alias("block_max_tf"),
+            F.max("docid").cast("long").alias("block_max_doc_id"),
+            F.count("*").cast("long").alias("n_postings"),
+        )
+    )
+    return blocks
+
+
+def _bm25_topk_df(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="none")
+    scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer="bm25")
+    if mode == "or":
+        agg = R.ranked_or(scored)
+    else:
+        counts = qterms.join(idx.lexicon.select("term"), "term").groupBy("qid").agg(
+            F.count("*").alias("n_query_terms")
+        )
+        agg = R.ranked_and(scored, counts)
+    top = R.topk(agg, TOPK_K)
+    return top.select(
+        "qid", F.col("docid").alias("doc_id"), F.round(F.col("score"), 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_topk_df(spark, sf_dir, "or")
+
+
+def q_ranked_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_topk_df(spark, sf_dir, "and")
+
+
+def q_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretokenized quantized dot-product retrieval (reference quantized
+    scorer / toks path): doc impacts = tf (scale=1), integer query weights."""
+    idx = _index(spark, sf_dir)
+    qtoks = [
+        ("t1", {"spark": 2.3, "query": 4.1}),
+        ("t2", {"merge": 1.0, "stream": 7.9}),
+    ]
+    qdf = R.query_toks_df(spark, qtoks, toks_scale=1.0)
+    j = F.broadcast(qdf).join(idx.tf, "term")
+    agg = (
+        j.withColumn("partial", (F.col("tf") * F.col("qweight")).cast("long"))
+        .groupBy("qid", "docid")
+        .agg(F.sum("partial").alias("score"))
+    )
+    top = R.topk(agg.withColumn("score", F.col("score").cast("double")), TOPK_K)
+    return top.select("qid", F.col("docid").alias("doc_id"),
+                      F.col("score").cast("long").alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+# ------------------------------------------------------------------- oracles
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["term_freq"] = f"WITH {_SQL_TOKS} SELECT doc_id, term, tf FROM tf"
+
+ORACLES["doclen"] = f"WITH {_SQL_TOKS} SELECT doc_id, doclen FROM dl"
+
+ORACLES["lexicon"] = f"WITH {_SQL_TOKS} SELECT term, term_id, df, cf FROM lex"
+
+ORACLES["collection_stats"] = (
+    f"WITH {_SQL_TOKS} SELECT num_docs, (SELECT count(*) FROM lex)::BIGINT AS num_terms,"
+    " total_doclen, round(avg_doclen, 6) AS avg_doclen FROM stats"
+)
+
+ORACLES["delta_gap"] = f"""WITH {_SQL_TOKS}
+SELECT term, doc_id,
+       coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), doc_id)::BIGINT AS gap
+FROM tf"""
+
+ORACLES["block_max"] = f"""WITH {_SQL_TOKS},
+pos AS (
+    SELECT term, doc_id, tf,
+           (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 128 AS block_id
+    FROM tf
+)
+SELECT term, block_id::BIGINT AS block_id, max(tf)::BIGINT AS block_max_tf,
+       max(doc_id)::BIGINT AS block_max_doc_id, count(*)::BIGINT AS n_postings
+FROM pos GROUP BY term, block_id"""
+
+_SQL_BM25_SCORED = f"""
+scored AS (
+    SELECT q.qid, t.doc_id,
+           sum(
+             q.qweight
+             * ln((s.num_docs - l.df + 0.5) / (l.df + 0.5))
+             * 1.9 * t.tf
+             / (t.tf + 0.9 * (1 - 0.4 + 0.4 * d.doclen / s.avg_doclen))
+           ) AS score,
+           count(*) AS nmatch
+    FROM qterms q
+    JOIN lex l ON l.term = q.term
+    JOIN tf t ON t.term = q.term
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, t.doc_id
+)
+"""
+
+ORACLES["bm25_topk"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS}, {_SQL_BM25_SCORED}
+SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {TOPK_K}"""
+
+ORACLES["ranked_and_topk"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS}, {_SQL_BM25_SCORED},
+qcount AS (
+    SELECT q.qid, count(*) AS n_query_terms
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN lex l ON l.term = q.term
+    GROUP BY q.qid
+)
+SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
+    SELECT s.qid, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+    FROM scored s JOIN qcount c ON c.qid = s.qid AND s.nmatch = c.n_query_terms
+) WHERE rnk <= {TOPK_K}"""
+
+ORACLES["quantized_dot"] = f"""WITH {_SQL_TOKS},
+qtoks(qid, term, qweight) AS (VALUES
+    ('t1', 'spark', 2), ('t1', 'query', 4),
+    ('t2', 'merge', 1), ('t2', 'stream', 7)
+),
+qscored AS (
+    SELECT q.qid, t.doc_id, sum(t.tf * q.qweight)::BIGINT AS score
+    FROM qtoks q JOIN tf t ON t.term = q.term
+    GROUP BY q.qid, t.doc_id
+)
+SELECT qid, doc_id, score, (rnk - 1)::INT AS rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM qscored
+) WHERE rnk <= {TOPK_K}"""
+
+
+IR_QUERIES = {
+    "term_freq": q_term_freq,
+    "doclen": q_doclen,
+    "lexicon": q_lexicon,
+    "collection_stats": q_collection_stats,
+    "delta_gap": q_delta_gap,
+    "block_max": q_block_max,
+    "bm25_topk": q_bm25_topk,
+    "ranked_and_topk": q_ranked_and_topk,
+    "quantized_dot": q_quantized_dot,
+}

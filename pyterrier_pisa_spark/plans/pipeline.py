@@ -1,0 +1,143 @@
+"""High-level pipelines: logical (in-memory DataFrame) index + retrieval.
+
+``LogicalIndex`` is the engine's query-able form — four DataFrames mirroring
+the reference's on-disk artifact (SURVEY.md §1.4): lexicon, postings (flat tf
+or packed blocks), docmap, stats. The persisted form (parquet/Iceberg-style
+tables + resumable shard build) lives in ``sources/index_store.py`` and loads
+back into this same class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import build as B
+from ..operators import retrieve as R
+
+
+@dataclass
+class LogicalIndex:
+    """In-memory/query-time view of an index.
+
+    - lexicon:  (term, term_id, df, cf[, max_score])
+    - tf:       (docid, term, tf, doclen)          [flat postings view]
+    - docmap:   (docid, docno, doclen, content_sha256)
+    - stats:    {num_docs, total_doclen, avg_doclen}
+    - blocks:   optional packed block table (see index_store) for the
+                block-max WAND kernel
+    """
+
+    lexicon: DataFrame
+    tf: DataFrame
+    docmap: DataFrame
+    stats: dict
+    blocks: DataFrame | None = None
+    meta: dict = field(default_factory=dict)
+
+    def num_docs(self) -> int:
+        return self.stats["num_docs"]
+
+    def num_terms(self) -> int:
+        if "num_terms" not in self.stats:
+            self.stats["num_terms"] = self.lexicon.count()
+        return self.stats["num_terms"]
+
+    def __len__(self) -> int:
+        return self.num_docs()
+
+
+def prepare_corpus(
+    corpus: DataFrame,
+    docno_col: str | None = None,
+    id_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Normalize any corpus to (docid, docno, content[, content_sha256]).
+
+    - source-code shape (repo,path,commit,lang,content): docno synthesized
+      (BASELINE.json input_hint), docid = dense id in docno order.
+    - ``id_col`` given: trust it as an already-dense docid (e.g. the driver
+      testdata's ``doc_id``) — avoids a shuffle entirely.
+    """
+    cols = set(corpus.columns)
+    if docno_col is None and {"repo", "path", "commit", "content"} <= cols:
+        corpus = B.with_docno(corpus)
+        docno_col = "docno"
+    elif docno_col is None:
+        docno_col = "docno"
+    if "content_sha256" not in corpus.columns:
+        corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    if id_col is not None:
+        return corpus.withColumn("docid", F.col(id_col).cast("long")).withColumn(
+            "docno", F.col(docno_col).cast("string")
+        )
+    corpus = corpus.withColumn("docno", F.col(docno_col).cast("string"))
+    return B.assign_dense_ids(corpus, ["docno"], "docid", num_partitions)
+
+
+def build_logical_index(
+    corpus: DataFrame,
+    stemmer: str = "porter2",
+    docno_col: str | None = None,
+    id_col: str | None = None,
+    cache: bool = True,
+) -> LogicalIndex:
+    """corpus -> LogicalIndex entirely as DataFrame ops (the reference's
+    build path §3.1 re-expressed; no fwd index materialized — fused)."""
+    prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col)
+    tf = B.build_tf(prepared, stemmer=stemmer)
+    if cache:
+        tf = tf.persist()
+    lexicon = B.build_lexicon(tf)
+    doclens = tf.groupBy("docid").agg(F.max("doclen").alias("doclen"))
+    # docs with zero tokens still need docmap rows: left join, doclen 0
+    docmap = (
+        prepared.select("docid", "docno", "content_sha256")
+        .join(doclens, "docid", "left")
+        .fillna({"doclen": 0})
+        .select("docid", "docno", "doclen", "content_sha256")
+    )
+    if cache:
+        docmap = docmap.persist()
+    stats = B.collection_stats(docmap)
+    return LogicalIndex(lexicon=lexicon, tf=tf, docmap=docmap, stats=stats,
+                        meta={"stemmer": stemmer})
+
+
+def retrieve(
+    index: LogicalIndex,
+    queries: list[tuple[str, str]],
+    scorer: str = "bm25",
+    k: int = R.DEFAULT_NUM_RESULTS,
+    stopwords="none",
+    mode: str = "ranked_or",
+    include_query: bool = True,
+    **scorer_params,
+) -> DataFrame:
+    """Exhaustive retrieval plan (reference ``ranked_or``/``ranked_and``) —
+    returns (qid[, query], docid, docno, score, rank)."""
+    spark = index.tf.sparkSession
+    qterms = R.query_terms_df(spark, queries, stemmer=index.meta.get("stemmer", "porter2"),
+                              stopwords=stopwords)
+    scored = R.attach_scores(qterms, index.tf, index.lexicon, index.stats,
+                             scorer=scorer, **scorer_params)
+    if mode == "ranked_or":
+        agg = R.ranked_or(scored)
+    elif mode == "ranked_and":
+        counts = qterms.join(index.lexicon.select("term"), "term").groupBy("qid").agg(
+            F.count("*").alias("n_query_terms")
+        )
+        agg = R.ranked_and(scored, counts)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    top = R.topk(agg, k)
+    qdf = spark.createDataFrame(queries, schema="qid string, query string") if include_query else None
+    return R.finalize(top, index.docmap, qdf)
+
+
+def search(index: LogicalIndex, query: str, **kw) -> DataFrame:
+    """Single-query sugar (reference ``search()``, R17)."""
+    return retrieve(index, [("1", query)], **kw)
