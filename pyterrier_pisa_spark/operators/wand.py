@@ -1,0 +1,206 @@
+"""Block-max pruned retrieval kernel (reference R7/R8: ``wand``,
+``block_max_wand``, ``maxscore``, ``_pisathon.cpp:296-354``) re-designed for
+Spark's execution model.
+
+Parallelism model = the reference's own (R15, ``_pisathon.cpp:442-545``):
+queries fan out across workers, each query is scored by ONE task over its
+terms' posting blocks. Spark shape:
+
+    broadcast(query-term table: term_id, qweight, df, max_score)
+    blocks semi-joined to query terms     [parquet term_id range pruning]
+    -> repartition by qid -> applyInPandas kernel per query:
+         terms processed in descending max_score order (TAAT over numpy
+         decoded blocks), threshold θ = current kth-best accumulated score,
+         block skipped iff
+             qweight*block_max + max(acc_max_in_block_range, 0) + rest_ub < θ
+         (exact-score-preserving: a skipped block provably contains no doc
+         that can reach the final top-k, so result docIDs AND scores equal
+         the exhaustive plan — the contract pinned by the reference's
+         variants matrix, ``tests/test_variants.py:7-28``)
+    -> per-query top-k + (score DESC, docid ASC) tie-break + 0-based rank
+       computed in-kernel -> docno join JVM-side.
+
+Pruning is automatically disabled for queries containing a negative-idf term
+(df > N/2): score monotonicity — the precondition of every max-score bound —
+does not hold there, so the kernel silently degrades to exhaustive TAAT for
+that query (still exact, just no skipping).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import score as S
+from .codec import varint_decode
+from .retrieve import DEFAULT_NUM_RESULTS, query_terms_df
+
+
+def _decode_posting_arrays(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cnt = int(row.count)
+    d = np.cumsum(varint_decode(row.docids_delta, cnt).astype(np.int64))
+    t = varint_decode(row.tfs, cnt).astype(np.float64)
+    dl = varint_decode(row.doclens, cnt).astype(np.float64)
+    return d, t, dl
+
+
+def _merge_acc(acc_d, acc_s, new_d, new_s):
+    """Merge sorted (docid, score) accumulators (TAAT accumulation)."""
+    if acc_d.size == 0:
+        return new_d, new_s
+    if new_d.size == 0:
+        return acc_d, acc_s
+    all_d = np.concatenate([acc_d, new_d])
+    all_s = np.concatenate([acc_s, new_s])
+    uniq, inv = np.unique(all_d, return_inverse=True)
+    out = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(out, inv, all_s)
+    return uniq, out
+
+
+def make_query_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
+                      k: int, k1: float, b: float, conjunctive: bool = False):
+    """Build the applyInPandas kernel. ``qinfo``: qid -> list of
+    (term_id, qweight, df, max_score), sorted by max_score desc."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series(dtype=object),
+                              "docid": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64),
+                              "rank": pd.Series(dtype=np.int32)})
+        if not len(pdf):
+            return empty
+        qid = pdf["qid"].iloc[0]
+        terms = qinfo.get(qid)
+        if not terms:
+            return empty
+        by_term: dict[int, pd.DataFrame] = {
+            int(tid): grp.sort_values("block_id") for tid, grp in pdf.groupby("term_id")
+        }
+        # ub per term = qweight * max_score (exact max over its postings)
+        ubs = np.array([qw * ms for (_, qw, _, ms) in terms], dtype=np.float64)
+        can_prune = all(
+            np.log((num_docs - df_ + 0.5) / (df_ + 0.5)) > 0 for (_, _, df_, _) in terms
+        ) and not conjunctive
+        rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+
+        acc_d = np.empty(0, dtype=np.int64)
+        acc_s = np.empty(0, dtype=np.float64)
+        nmatch_d = acc_d
+        nmatch_c = np.empty(0, dtype=np.int64)
+        theta = -np.inf
+        skipped_blocks = 0
+
+        for i, (tid, qw, df_, _ms) in enumerate(terms):
+            grp = by_term.get(int(tid))
+            if grp is None:
+                continue
+            seg_d, seg_s = [], []
+            for row in grp.itertuples():
+                if can_prune and acc_d.size >= k and theta > -np.inf:
+                    lo = np.searchsorted(acc_d, row.docid_first, "left")
+                    hi = np.searchsorted(acc_d, row.docid_last, "right")
+                    acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
+                    if qw * row.block_max_score + max(acc_max, 0.0) + rest_ub[i] < theta:
+                        skipped_blocks += 1
+                        continue
+                d, tf, dl = _decode_posting_arrays(row)
+                seg_d.append(d)
+                seg_s.append(qw * S.bm25_np(tf, dl, float(df_), num_docs, avg_doclen, k1, b))
+            if seg_d:
+                new_d = np.concatenate(seg_d)
+                new_s = np.concatenate(seg_s)
+                acc_d, acc_s = _merge_acc(acc_d, acc_s, new_d, new_s)
+                if conjunctive:
+                    nmatch_d, nmatch_c = _merge_acc(
+                        nmatch_d, nmatch_c.astype(np.float64), new_d,
+                        np.ones(new_d.size)
+                    )
+                    nmatch_c = nmatch_c.astype(np.int64)
+            if can_prune and acc_s.size >= k:
+                theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+
+        if conjunctive and acc_d.size:
+            need = len(terms)
+            keep = nmatch_c >= need
+            acc_d, acc_s = acc_d[keep], acc_s[keep]
+        if acc_d.size == 0:
+            return empty
+        kk = min(k, acc_d.size)
+        # top-k with (score DESC, docid ASC): lexsort on (-score, docid)
+        order = np.lexsort((acc_d, -acc_s))[:kk]
+        return pd.DataFrame({
+            "qid": qid,
+            "docid": acc_d[order],
+            "score": acc_s[order],
+            "rank": np.arange(kk, dtype=np.int32),
+        })
+
+    return kernel
+
+
+def retrieve_blockmax(
+    index,  # PersistedIndex
+    queries: list[tuple[str, str]],
+    k: int = DEFAULT_NUM_RESULTS,
+    stopwords="none",
+    conjunctive: bool = False,
+    include_query: bool = True,
+    cast_float32: bool = True,
+) -> DataFrame:
+    """Pruned top-k retrieval over a persisted block index. Returns
+    (qid[, query], docid, docno, score, rank) — rank-identical to the
+    exhaustive plan."""
+    spark = index.docmap.sparkSession
+    meta = index.meta
+    k1 = meta["scorer"]["k1"]
+    b = meta["scorer"]["b"]
+    stats = index.stats
+
+    qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
+                            stopwords=stopwords)
+    matched = (
+        qterms.join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
+        .select("qid", "term_id", "qweight", "df", "max_score")
+        .collect()
+    )
+    qinfo: dict[str, list] = {}
+    for r in matched:
+        qinfo.setdefault(r["qid"], []).append(
+            (int(r["term_id"]), float(r["qweight"]), float(r["df"]), float(r["max_score"]))
+        )
+    for qid in qinfo:
+        qinfo[qid].sort(key=lambda t: -t[3])
+
+    tid_qids: list[tuple[int, str]] = []
+    for qid, terms in qinfo.items():
+        for (tid, _, _, _) in terms:
+            tid_qids.append((tid, qid))
+    if not tid_qids:
+        out = spark.createDataFrame([], schema="qid string, docid long, docno string, score float, rank int")
+        return out
+    tq = spark.createDataFrame(tid_qids, schema="term_id long, qid string")
+
+    # isin filter reaches the parquet scan (row-group min/max pruning on the
+    # range-partitioned postings files) before the broadcast join fans out
+    tids = sorted({tid for tid, _ in tid_qids})
+    cand = index.blocks.filter(F.col("term_id").isin(tids)).join(F.broadcast(tq), "term_id").select(
+        "qid", "term_id", "block_id", "count", "docid_first", "docid_last",
+        "block_max_score", "docids_delta", "tfs", "doclens"
+    )
+    kernel = make_query_kernel(qinfo, stats["num_docs"], stats["avg_doclen"], k, k1, b,
+                               conjunctive=conjunctive)
+    results = cand.groupBy("qid").applyInPandas(
+        kernel, schema="qid string, docid long, score double, rank int"
+    )
+    out = results.join(index.docmap.select("docid", "docno"), "docid")
+    # reference pins float32 result dtype (__init__.py:500-503); keep double
+    # when the caller compares against a double-precision oracle
+    score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
+    if include_query:
+        qdf = spark.createDataFrame(queries, schema="qid string, query string")
+        out = out.join(F.broadcast(qdf), "qid")
+        return out.select("qid", "query", "docid", "docno", score_col, "rank")
+    return out.select("qid", "docid", "docno", score_col, "rank")

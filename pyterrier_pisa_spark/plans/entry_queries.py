@@ -188,6 +188,29 @@ def q_ranked_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk_df(spark, sf_dir, "and")
 
 
+def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full persisted path: build block-compressed index on disk, answer with
+    the block-max pruned kernel — must match the SAME SQL oracle as the
+    exhaustive plan (rank/score identity contract)."""
+    import tempfile
+
+    from ..operators.wand import retrieve_blockmax
+    from ..sources.index_store import build_index, load_index
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("docno"),
+        F.col("text").alias("content"),
+    )
+    path = tempfile.mkdtemp(prefix="ppisa_idx_") + "/idx"
+    build_index(corpus, path, stemmer="none", id_col="doc_id", mode="overwrite")
+    idx = load_index(spark, path)
+    res = retrieve_blockmax(idx, QUERIES, k=TOPK_K, include_query=False, cast_float32=False)
+    return res.select("qid", F.col("docid").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretokenized quantized dot-product retrieval (reference quantized
     scorer / toks path): doc impacts = tf (scale=1), integer query weights."""
@@ -223,6 +246,8 @@ ORACLES["collection_stats"] = (
     f"WITH {_SQL_TOKS} SELECT num_docs, (SELECT count(*) FROM lex)::BIGINT AS num_terms,"
     " total_doclen, round(avg_doclen, 6) AS avg_doclen FROM stats"
 )
+
+ORACLES["bm25_topk_blockmax"] = None  # filled below: same oracle as bm25_topk
 
 ORACLES["delta_gap"] = f"""WITH {_SQL_TOKS}
 SELECT term, doc_id,
@@ -265,6 +290,8 @@ SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
     FROM scored
 ) WHERE rnk <= {TOPK_K}"""
 
+ORACLES["bm25_topk_blockmax"] = ORACLES["bm25_topk"]
+
 ORACLES["ranked_and_topk"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS}, {_SQL_BM25_SCORED},
 qcount AS (
     SELECT q.qid, count(*) AS n_query_terms
@@ -303,6 +330,7 @@ IR_QUERIES = {
     "delta_gap": q_delta_gap,
     "block_max": q_block_max,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_blockmax": q_bm25_topk_blockmax,
     "ranked_and_topk": q_ranked_and_topk,
     "quantized_dot": q_quantized_dot,
 }

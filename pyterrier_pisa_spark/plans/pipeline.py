@@ -69,7 +69,10 @@ def prepare_corpus(
     elif docno_col is None:
         docno_col = "docno"
     if "content_sha256" not in corpus.columns:
-        corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        if "content" in corpus.columns:
+            corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        else:  # pretokenized corpora have no raw content to hash
+            corpus = corpus.withColumn("content_sha256", F.lit(None).cast("string"))
     if id_col is not None:
         return corpus.withColumn("docid", F.col(id_col).cast("long")).withColumn(
             "docno", F.col(docno_col).cast("string")

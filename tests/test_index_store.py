@@ -1,0 +1,162 @@
+"""Persisted index: build phases, block format invariants, checkpoint-resume,
+lineage, and the block-max kernel self-oracle (pruned ≡ exhaustive — the
+contract from the reference's variants matrix, ``tests/test_variants.py``)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from pyterrier_pisa_spark.operators.wand import retrieve_blockmax
+from pyterrier_pisa_spark.plans.pipeline import build_logical_index, retrieve
+from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+
+N_DOCS = 400
+BLOCK = 32  # small block size to exercise multi-block terms + partial merges
+CHUNK = 64  # small chunk span to exercise boundary-partial merging
+
+QUERIES = [
+    ("q1", "parse index query"),
+    ("q2", "def return if"),          # hot zipf-head terms, many blocks
+    ("q3", "get_engine var399 zzz"),  # rare + OOV mix
+    ("q4", "merge shard"),
+    ("q5", "nonexistenttermxyz"),     # fully OOV
+]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "synth")
+    corpus = synth_code_corpus(spark, num_docs=N_DOCS, seed=7)
+    build_index(corpus, path, stemmer="porter2", block_size=BLOCK, chunk_span=CHUNK,
+                mode="overwrite")
+    return path
+
+
+def test_meta_and_phases(spark, index_path):
+    meta = json.load(open(os.path.join(index_path, "meta.json")))
+    assert meta["stats"]["num_docs"] == N_DOCS
+    assert meta["block_size"] == BLOCK
+    for phase in ("tf", "lexicon", "postings", "maxscore"):
+        assert os.path.exists(os.path.join(index_path, "_phases", f"{phase}.done")), phase
+
+
+def test_block_invariants(spark, index_path):
+    idx = load_index(spark, index_path)
+    rows = idx.blocks.collect()
+    assert rows
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term_id"], []).append(r)
+    for term_id, blocks in by_term.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        # block ids dense from 0; every block full except possibly the last
+        assert [r["block_id"] for r in blocks] == list(range(len(blocks)))
+        for r in blocks[:-1]:
+            assert r["count"] == BLOCK, (term_id, r["block_id"], r["count"])
+        assert 1 <= blocks[-1]["count"] <= BLOCK
+        # docid ranges strictly increasing across blocks
+        for a, b in zip(blocks, blocks[1:]):
+            assert a["docid_last"] < b["docid_first"]
+        for r in blocks:
+            assert r["docid_first"] <= r["docid_last"]
+            assert r["block_max_score"] > 0 or r["block_max_score"] <= 0  # finite
+            assert np.isfinite(r["block_max_score"])
+
+
+def test_flat_tf_roundtrip_matches_logical(spark, index_path):
+    """Decoded persisted postings == freshly built logical tf (the format
+    oracle: compression is lossless)."""
+    idx = load_index(spark, index_path)
+    corpus = synth_code_corpus(spark, num_docs=N_DOCS, seed=7)
+    logical = build_logical_index(corpus, stemmer="porter2")
+    flat = idx.as_logical().tf.select("docid", "term", "tf", "doclen")
+    fresh = logical.tf.select("docid", "term", "tf", "doclen")
+    assert flat.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(flat).count() == 0
+
+
+def test_lexicon_maxscore_is_true_max(spark, index_path):
+    idx = load_index(spark, index_path)
+    blocks_max = idx.blocks.groupBy("term_id").agg(
+        {"block_max_score": "max"}).withColumnRenamed("max(block_max_score)", "bmax")
+    joined = idx.lexicon.join(blocks_max, "term_id").collect()
+    for r in joined:
+        assert r["max_score"] == pytest.approx(r["bmax"], rel=1e-12)
+
+
+def test_blockmax_kernel_matches_exhaustive(spark, index_path):
+    """THE self-oracle: pruned kernel ≡ exhaustive DataFrame plan, rank and
+    score identical (tolerance = float addition order)."""
+    idx = load_index(spark, index_path)
+    k = 25
+    pruned = retrieve_blockmax(idx, QUERIES, k=k, include_query=False).toPandas()
+    logical = idx.as_logical()
+    logical.meta["stemmer"] = "porter2"
+    exh = retrieve(logical, QUERIES, k=k, include_query=False).toPandas()
+    assert len(pruned) == len(exh)
+    p = pruned.sort_values(["qid", "rank"]).reset_index(drop=True)
+    e = exh.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert p["qid"].tolist() == e["qid"].tolist()
+    assert p["docid"].tolist() == e["docid"].tolist(), "rank-identity violated"
+    np.testing.assert_allclose(p["score"], e["score"], rtol=1e-5)
+    assert (p["rank"] == e["rank"]).all()
+    # sanity: queries with matches actually return rows
+    assert set(p["qid"]) == {"q1", "q2", "q3", "q4"}
+
+
+def test_blockmax_conjunctive_matches_exhaustive(spark, index_path):
+    idx = load_index(spark, index_path)
+    pruned = retrieve_blockmax(idx, QUERIES[:4], k=30, conjunctive=True,
+                               include_query=False).toPandas()
+    logical = idx.as_logical()
+    exh = retrieve(logical, QUERIES[:4], k=30, mode="ranked_and", include_query=False).toPandas()
+    p = pruned.sort_values(["qid", "rank"]).reset_index(drop=True)
+    e = exh.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert p["docid"].tolist() == e["docid"].tolist()
+    np.testing.assert_allclose(p["score"], e["score"], rtol=1e-5)
+
+
+def test_resume_skips_completed_phases(spark, tmp_path):
+    path = str(tmp_path / "resume_idx")
+    corpus = synth_code_corpus(spark, num_docs=120, seed=3)
+    build_index(corpus, path, block_size=BLOCK, chunk_span=CHUNK, mode="overwrite")
+    # simulate a crash after the postings phase: delete downstream artifacts
+    shutil.rmtree(os.path.join(path, "term_stats"))
+    os.remove(os.path.join(path, "_phases", "maxscore.done"))
+    os.remove(os.path.join(path, "meta.json"))
+    before = open(os.path.join(path, "_phases", "postings.done")).read()
+    build_index(corpus, path, block_size=BLOCK, chunk_span=CHUNK, mode="resume")
+    after = open(os.path.join(path, "_phases", "postings.done")).read()
+    assert before == after, "completed postings phase must not be recomputed"
+    idx = load_index(spark, path)
+    assert idx.lexicon.filter("max_score is null").count() == 0
+
+
+def test_create_mode_errors_if_exists(spark, tmp_path):
+    path = str(tmp_path / "exists_idx")
+    corpus = synth_code_corpus(spark, num_docs=30, seed=1)
+    build_index(corpus, path, mode="overwrite", block_size=BLOCK)
+    with pytest.raises(FileExistsError):
+        build_index(corpus, path, mode="create", block_size=BLOCK)
+
+
+def test_metrics_written(spark, index_path):
+    m = spark.read.parquet(os.path.join(index_path, "metrics"))
+    phases = {r["phase"] for r in m.collect()}
+    assert {"tf", "lexicon", "postings"} <= phases
+
+
+def test_sha256_lineage_persisted(spark, index_path):
+    idx = load_index(spark, index_path)
+    from pyspark.sql import functions as F
+
+    corpus = synth_code_corpus(spark, num_docs=N_DOCS, seed=7)
+    src = corpus.withColumn("docno", F.concat_ws("", "repo", F.lit("/"), "path", F.lit("@"), "commit")) \
+                .select("docno", F.sha2("content", 256).alias("expect"))
+    j = idx.docmap.join(src, "docno")
+    assert j.count() == N_DOCS
+    assert j.filter(F.col("content_sha256") != F.col("expect")).count() == 0
