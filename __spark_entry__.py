@@ -24,18 +24,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyterrier_pisa_spark.plans.entry_queries import IR_QUERIES
 
+    from pyterrier_pisa_spark.plans.entry_pipeline import PIPELINE_QUERIES
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(IR_QUERIES)
-    try:
-        from pyterrier_pisa_spark.plans.entry_queries import PIPELINE_QUERIES
-
-        out.update(PIPELINE_QUERIES)
-    except ImportError:
-        pass
+    out.update(PIPELINE_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyterrier_pisa_spark.plans.entry_pipeline import PIPELINE_ORACLES
     from pyterrier_pisa_spark.plans.entry_queries import ORACLES
 
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out.update(PIPELINE_ORACLES)
+    return out

@@ -1,0 +1,132 @@
+"""Per-round benchmark: headline build + query workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ..., "extra": {...}}
+
+Workloads:
+  build_documents_index   persisted block-index build over documents.parquet
+  bm25_blockmax_batch     40-query batch, k=1000, pruned kernel
+  bm25_exhaustive_batch   same batch through the exhaustive DataFrame plan
+  synth_build_20k         synthetic source-code corpus (20k docs, zipfian)
+                          end-to-end build -> docs/sec in extra
+  synth_query_batch       40 queries over the 20k synth index (porter2)
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 1000
+N_SYNTH = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_queries(terms: list[str], n: int) -> list[tuple[str, str]]:
+    out = []
+    pairs = itertools.cycle(itertools.combinations(terms, 2))
+    for i in range(n):
+        a, b = next(pairs)
+        out.append((f"b{i}", f"{a} {b}"))
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pyterrier_pisa_spark.operators.wand import retrieve_blockmax
+    from pyterrier_pisa_spark.plans.pipeline import build_logical_index, retrieve
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict = {"cpus": CPUS}
+    tmp = tempfile.mkdtemp(prefix="bench_idx_")
+
+    # ---- 1. build over driver testdata documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("docno"),
+        F.col("text").alias("content"),
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    build_index(docs, f"{tmp}/docs_idx", stemmer="none", id_col="doc_id", mode="overwrite")
+    timings["build_documents_index"] = time.time() - t0
+    extra["documents_docs_per_sec"] = round(n_docs / timings["build_documents_index"], 1)
+
+    idx = load_index(spark, f"{tmp}/docs_idx")
+    vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df")).limit(24).collect()]
+    queries = make_queries(vocab, 40)
+
+    # ---- 2. pruned kernel batch
+    t0 = time.time()
+    n_res = retrieve_blockmax(idx, queries, k=K, include_query=False).count()
+    timings["bm25_blockmax_batch"] = time.time() - t0
+    extra["blockmax_ms_per_query"] = round(1000 * timings["bm25_blockmax_batch"] / len(queries), 2)
+    extra["blockmax_rows"] = n_res
+
+    # ---- 3. exhaustive DataFrame plan batch
+    logical = idx.as_logical()
+    logical.tf = logical.tf.persist()
+    logical.tf.count()
+    t0 = time.time()
+    n_res2 = retrieve(logical, queries, k=K, include_query=False).count()
+    timings["bm25_exhaustive_batch"] = time.time() - t0
+    extra["exhaustive_rows"] = n_res2
+
+    # ---- 4. synthetic source-code corpus build (porter2, bigger)
+    synth = synth_code_corpus(spark, num_docs=N_SYNTH, seed=11)
+    t0 = time.time()
+    build_index(synth, f"{tmp}/synth_idx", stemmer="porter2", mode="overwrite")
+    timings["synth_build_20k"] = time.time() - t0
+    extra["synth_docs_per_sec"] = round(N_SYNTH / timings["synth_build_20k"], 1)
+
+    # ---- 5. query the synth index
+    sidx = load_index(spark, f"{tmp}/synth_idx")
+    svocab = [r["term"] for r in sidx.lexicon.orderBy(F.desc("df")).limit(24).collect()]
+    squeries = make_queries(svocab, 40)
+    t0 = time.time()
+    retrieve_blockmax(sidx, squeries, k=K, include_query=False).count()
+    timings["synth_query_batch"] = time.time() - t0
+    extra["synth_ms_per_query"] = round(1000 * timings["synth_query_batch"] / len(squeries), 2)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "fulltext_index_e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k_: round(v, 3) for k_, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``) — ANN for the
+training-data pipeline (no reference counterpart; first-class addition).
+
+  cosine_topk          brute-force exact cosine top-k (the correctness
+                       baseline): broadcast queries ⋈ corpus, JVM-side
+                       ``aggregate``/``zip_with`` dot products, window top-k.
+  lsh_cosine_topk      random-hyperplane LSH bucketing (seeded, deterministic)
+                       -> exact rescoring INSIDE matching buckets only.
+                       The scale path: candidate set ~ corpus/2^bits per probe.
+  embedding_near_dup   all-pairs cosine >= threshold via the same LSH blocks.
+
+Vector math stays in Catalyst (higher-order functions) — no Python on the
+per-row path; the hyperplanes are a tiny seeded numpy matrix broadcast as
+literal columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors (cosine == dot afterwards)."""
+    n = _norm(F.col(vec_col).cast("array<double>"))
+    return df.withColumn(
+        "_unit", F.transform(F.col(vec_col).cast("array<double>"), lambda v: v / n)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact brute-force: (qid, vec_id, cos, rank). Queries broadcast; ties
+    broken (cos DESC, vec_id ASC) like the engine's doc tie-break."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).cast("array<double>").alias("qv"))
+    j = c.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    scored = j.select("qid", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < k)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _probe_buckets(bucket: Column, bits: int, hamming: int) -> Column:
+    """Array of probe buckets within the given Hamming radius (0 or 1
+    supported: identity + all single-bit flips)."""
+    probes = [bucket]
+    if hamming >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+    return F.array(*probes)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id = sign bits against ``planes`` (literal coefficients —
+    pure Catalyst arithmetic, whole-stage codegen'd)."""
+    bits = []
+    for j, row in enumerate(planes):
+        dot = sum(
+            (F.element_at(vec, i + 1) * float(c) for i, c in enumerate(row)),
+            F.lit(0.0),
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: exact cosine computed only inside buckets whose id
+    is within ``multiprobe_hamming`` of the query's bucket (multi-probe
+    recovers near-boundary neighbors). Returns (qid, vec_id, cos, rank)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    c = c.withColumn("bucket", _bucket_col(F.col("v"), planes))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).cast("array<double>").alias("qv"))
+    q = q.withColumn("qbucket", _bucket_col(F.col("qv"), planes))
+    # multi-probe as an EQUI-join: explode the query's probe buckets
+    # (bucket + single-bit flips) so the join hashes on bucket id —
+    # no nested-loop scan of the corpus
+    q = q.withColumn("bucket", F.explode(_probe_buckets(F.col("qbucket"), bits, multiprobe_hamming)))
+
+    j = c.join(F.broadcast(q), "bucket")
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    scored = j.select("qid", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < k)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold, blocked by LSH
+    bucket (id_a < id_b). Candidate pairs only form within/near buckets —
+    the standard linear-ish near-dup plan at corpus scale."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    c = c.withColumn("bucket", _bucket_col(F.col("v"), planes))
+    probed = c.withColumn("bucket", F.explode(_probe_buckets(F.col("bucket"), bits, multiprobe_hamming)))
+    a, b = c.alias("a"), probed.alias("b")
+    # equi-join on bucket (hash/sort-merge, scalable); each hamming<=1 pair
+    # matches exactly once (bucket==bucket via probe 0, or the one flipped bit)
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

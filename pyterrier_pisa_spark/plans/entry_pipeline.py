@@ -1,0 +1,297 @@
+"""Driver-contract entries for the training-data pipeline operators
+(dedup / similarity / text-analysis / multimodal) with DuckDB oracles.
+
+Hashing note: every hash used here is md5-hex-derived so Spark and DuckDB
+compute IDENTICAL values (``conv(substr(md5(x),1,15),16,10)`` ==
+``('0x'||substr(md5(x),1,15))::bigint``) — the oracle checks real hash
+equality, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textstats as TS
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+
+NGRAM = 3
+JACCARD_T = 0.1
+MINHASHES = 8
+SIMHASH_BITS = 16
+ANN_K = 10
+ANN_NQ = 5
+
+# ------------------------------------------------------------- shared SQL
+
+_SQL_DOCTOKS = """
+dtoks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+    FROM documents
+),
+dshingle AS (
+    SELECT DISTINCT doc_id,
+           toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+    FROM dtoks, unnest(range(0, greatest(len(toks) - 2, 0))) t(i)
+)
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.exact_dup_groups(docs, content_col="text", id_col="doc_id").select(
+        "content_md5", F.col("keeper_id").cast("long").alias("keeper_id"),
+        F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS keeper_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.jaccard_pairs(docs, content_col="text", id_col="doc_id",
+                            n=NGRAM, threshold=JACCARD_T).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"), "jaccard")
+
+
+ORACLE_NGRAM_JACCARD = f"""WITH {_SQL_DOCTOKS},
+sizes AS (SELECT doc_id, count(*) AS n FROM dshingle GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM dshingle a JOIN dshingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = DD.minhash_signatures(docs, content_col="text", id_col="doc_id",
+                                 n=NGRAM, num_hashes=MINHASHES)
+    return sigs.select(F.col("id").cast("long").alias("id"),
+                       F.posexplode("sig").alias("j", "minhash")).select(
+        "id", F.col("j").cast("int").alias("j"), "minhash")
+
+
+ORACLE_MINHASH = f"""WITH {_SQL_DOCTOKS}
+SELECT s.doc_id::BIGINT AS id, j::INT AS j,
+       min(('0x' || substr(md5(j::VARCHAR || ':' || s.shingle), 1, 15))::BIGINT) AS minhash
+FROM dshingle s, unnest(range(0, {MINHASHES})) t(j)
+GROUP BY s.doc_id, j
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash(docs, content_col="text", id_col="doc_id", bits=SIMHASH_BITS).select(
+        F.col("id").cast("long").alias("id"), "simhash")
+
+
+_simhash_bit_sql = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) > 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+ORACLE_SIMHASH = f"""WITH
+toks AS (
+    SELECT doc_id, tt.term FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents) tt WHERE tt.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+hashed AS (
+    SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf
+)
+SELECT doc_id::BIGINT AS id, ({_simhash_bit_sql})::BIGINT AS simhash
+FROM hashed GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TS.lang_id(docs).select(F.col("id").cast("long").alias("id"),
+                                   "pred_lang", "top_hits")
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+ORACLE_LANG_ID = f"""WITH
+dtoks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           {_marker_sql('en')} AS hits_en, {_marker_sql('de')} AS hits_de,
+           {_marker_sql('es')} AS hits_es, {_marker_sql('fr')} AS hits_fr
+    FROM dtoks
+)
+SELECT doc_id::BIGINT AS id,
+       CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) <= 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+            WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(hits_en, hits_de, hits_es, hits_fr)::BIGINT AS top_hits
+FROM hits
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TS.quality_score(docs).select(
+        F.col("id").cast("long").alias("id"), "n_chars", "n_tokens",
+        "mean_token_len", "alnum_ratio", "stop_ratio", "quality")
+
+
+_en_stops = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS["en"])
+ORACLE_QUALITY = f"""WITH
+base AS (
+    SELECT doc_id, length(text) AS n_chars,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars, len(toks) AS n_tokens, alnum,
+           CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+                ELSE 0.0 END AS mean_tok,
+           CASE WHEN n_chars > 0 THEN alnum::DOUBLE / n_chars ELSE 0.0 END AS alnum_ratio,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> t IN ({_en_stops})))::DOUBLE / len(toks)
+                ELSE 0.0 END AS stop_ratio
+    FROM base
+)
+SELECT doc_id::BIGINT AS id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       round(mean_tok, 4) AS mean_token_len, round(alnum_ratio, 4) AS alnum_ratio,
+       round(stop_ratio, 4) AS stop_ratio,
+       round((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN alnum_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END), 2) AS quality
+FROM m
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TS.doc_fingerprint(docs).select(F.col("id").cast("long").alias("id"), "fingerprint")
+
+
+ORACLE_FINGERPRINT = """WITH
+dtoks AS (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      t -> t <> '')) AS term
+    FROM documents
+)
+SELECT doc_id::BIGINT AS id,
+       md5(string_agg(DISTINCT term, ' ' ORDER BY term)) AS fingerprint
+FROM dtoks GROUP BY doc_id
+"""
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plumbing on opaque binary payloads (text bytes
+    stand in for media blobs — magic-byte sniff, length, sha256 lineage)."""
+    from ..operators.multimodal import attach_media_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"), "text"
+    )
+    out = attach_media_meta(docs, "payload")
+    return out.select(F.col("doc_id").cast("long").alias("id"), "media_type",
+                      "byte_len", F.sha2(F.col("text"), 256).alias("payload_sha256"))
+
+
+ORACLE_MEDIA_META = """
+SELECT doc_id::BIGINT AS id, 'application/octet-stream' AS media_type,
+       octet_length(text::BLOB)::BIGINT AS byte_len,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    return SIM.cosine_topk(emb, queries, k=ANN_K).select(
+        "qid", F.col("vec_id").cast("long").alias("vec_id"), "cos",
+        F.col("rank").cast("int").alias("rank"))
+
+
+ORACLE_ANN = f"""WITH
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {ANN_NQ}),
+scored AS (
+    SELECT q.qid::VARCHAR AS qid, e.vec_id,
+           list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+    FROM embeddings e CROSS JOIN q
+)
+SELECT qid, vec_id::BIGINT AS vec_id, round(cos, 6) AS cos, (rnk - 1)::INT AS rank
+FROM (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {ANN_K}
+"""
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (rows-only driver check; recall vs brute force is
+    asserted in pytest)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    return SIM.lsh_cosine_topk(emb, queries, k=ANN_K, bits=8, multiprobe_hamming=1)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (rows-only; recall asserted in
+    pytest against exact jaccard)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_dedup(docs, content_col="text", id_col="doc_id",
+                            n=NGRAM, num_hashes=MINHASHES, bands=4, threshold=JACCARD_T)
+
+
+PIPELINE_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash": q_minhash,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_meta": q_media_meta,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+}
+
+PIPELINE_ORACLES = {
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash": ORACLE_MINHASH,
+    "simhash": ORACLE_SIMHASH,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "media_meta": ORACLE_MEDIA_META,
+    "ann_cosine_topk": ORACLE_ANN,
+    # lsh_ann_topk, minhash_lsh_pairs: approximate -> rows-only + pytest recall
+}

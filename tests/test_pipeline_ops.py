@@ -1,0 +1,183 @@
+"""Training-data pipeline operators: dedup / similarity / textstats /
+multimodal. Exact ops are oracle-checked by the driver; these tests pin the
+approximate paths (LSH recall vs exact) and the multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyterrier_pisa_spark.functions.textstats import doc_fingerprint, lang_id, quality_score
+from pyterrier_pisa_spark.operators import dedup as DD
+from pyterrier_pisa_spark.operators import similarity as SIM
+from pyterrier_pisa_spark.operators.multimodal import (
+    attach_media_meta,
+    audio_features,
+    decode_image_features,
+    resize_images,
+    sample_frames,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "der schnelle braune fuchs und die katze und das haus ist"),
+    (5, "el gato que corre por la casa de los perros"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = DD.exact_dup_groups(docs, "text", "doc_id").collect()
+    by_keeper = {r["keeper_id"]: r["dup_count"] for r in groups}
+    assert by_keeper[0] == 2  # docs 0 and 2
+    kept = DD.dedup_exact(docs, "text", "doc_id").select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {0, 1, 3, 4, 5}
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = DD.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert d[(0, 2)] == 1.0
+    assert (0, 1) in d  # near-dup: 6/8 shared 3-shingles
+    assert d[(0, 1)] == pytest.approx(6 / 8)
+    assert all(a < b for a, b in d)
+    assert not any({3, 4, 5} & {a, b} for a, b in d)
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """LSH candidates must contain every high-jaccard pair (recall@threshold)
+    — the contract that makes the approximate path usable for dedup."""
+    exact = DD.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    truth = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    found = DD.minhash_dedup(docs, "text", "doc_id", n=3, num_hashes=16, bands=8,
+                             threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert truth <= got | truth  # no crash path
+    missed = truth - got
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    # and verified jaccard values agree with the exact operator
+    ex = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    for r in found.collect():
+        assert r["jaccard"] == pytest.approx(ex[(r["id_a"], r["id_b"])])
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in DD.simhash(docs, "text", "doc_id").collect()}
+    assert sh[0] == sh[2]  # identical docs, identical fingerprint
+    pairs = DD.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 2)) == 0
+    assert (0, 1) in got  # near-dup within small hamming distance
+
+
+def test_lsh_ann_matches_bruteforce_topk(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((80, 16)).astype(np.float32)
+    # plant near-duplicates of vec 0..4
+    for i in range(5):
+        base[40 + i] = base[i] + rng.standard_normal(16).astype(np.float32) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(80)],
+        schema="vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    brute = SIM.cosine_topk(emb, q, k=3).collect()
+    approx = SIM.lsh_cosine_topk(emb, q, k=3, bits=8, multiprobe_hamming=1).collect()
+    btop = {(r["qid"], r["rank"]): r["vec_id"] for r in brute}
+    # rank-0 must be the vector itself; the planted near-dup must be found
+    for i in range(5):
+        assert btop[(str(i), 0)] == i
+        assert btop[(str(i), 1)] == 40 + i
+    atop = {(r["qid"], r["rank"]): r["vec_id"] for r in approx}
+    for i in range(5):
+        assert atop[(str(i), 0)] == i, "LSH must recover the exact match"
+        assert atop[(str(i), 1)] == 40 + i, "LSH must recover the planted near-dup"
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((30, 8)).astype(np.float32)
+    base[20] = base[3] * 2.0  # same direction -> cos == 1
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        schema="vec_id long, embedding array<float>",
+    )
+    pairs = SIM.embedding_near_dup(emb, threshold=0.99, bits=6).collect()
+    assert any(r["id_a"] == 3 and r["id_b"] == 20 for r in pairs)
+
+
+def test_lang_id_and_quality(spark, docs):
+    langs = {r["id"]: r["pred_lang"] for r in lang_id(docs, "text", "doc_id").collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "es"
+    q = {r["id"]: r for r in quality_score(docs, "text", "doc_id").collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stop_ratio"] == pytest.approx(round(2 / 9, 4))
+    assert 0.0 <= q[0]["quality"] <= 1.0
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        schema="doc_id long, text string",
+    )
+    fp = {r["id"]: r["fingerprint"] for r in doc_fingerprint(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\nrestofpng"),
+        (1, b"\xff\xd8\xff\xe0jpegdata"),
+        (2, b"RIFF....WAVEdata"),
+        (3, b"plain text payload"),
+    ]
+    return spark.createDataFrame(rows, schema="id long, payload binary")
+
+
+def test_media_meta_magic_sniff(spark, media):
+    out = {r["id"]: r for r in attach_media_meta(media).collect()}
+    assert out[0]["media_type"] == "image/png"
+    assert out[1]["media_type"] == "image/jpeg"
+    assert out[2]["media_type"] == "audio/wav"
+    assert out[3]["media_type"] == "application/octet-stream"
+    assert out[3]["byte_len"] == len(b"plain text payload")
+
+
+def test_image_features_deterministic(spark, media):
+    f1 = decode_image_features(media, dim=16).collect()
+    f2 = decode_image_features(media, dim=16).collect()
+    d1 = {r["id"]: r["features"] for r in f1}
+    d2 = {r["id"]: r["features"] for r in f2}
+    assert d1.keys() == d2.keys()
+    for k in d1:
+        assert d1[k] == d2[k], "fake decoder must be deterministic"
+        assert len(d1[k]) == 16
+
+
+def test_real_decoder_raises(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+        decode_image_features(media, decoder="real").collect()
+
+
+def test_resize_and_frames_shapes(spark, media):
+    rs = resize_images(media, height=8, width=8).collect()
+    assert all(len(r["resized"]) == 8 * 8 * 3 for r in rs)
+    fr = sample_frames(media, n_frames=3).collect()
+    assert len(fr) == 4 * 3
+    per = {}
+    for r in fr:
+        per.setdefault(r["id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())
+    au = audio_features(media, n_coeffs=8).collect()
+    assert all(len(r["coeffs"]) == 8 and r["duration_s"] > 0 for r in au)
