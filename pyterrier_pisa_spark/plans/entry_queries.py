@@ -162,10 +162,10 @@ def q_block_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks
 
 
-def _bm25_topk_df(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+def _bm25_topk_df(spark: SparkSession, sf_dir: str, mode: str, scorer: str = "bm25") -> DataFrame:
     idx = _index(spark, sf_dir)
     qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="none")
-    scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer="bm25")
+    scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer=scorer)
     if mode == "or":
         agg = R.ranked_or(scored)
     else:
@@ -186,6 +186,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ranked_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk_df(spark, sf_dir, "and")
+
+
+def q_dph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_topk_df(spark, sf_dir, "or", scorer="dph")
+
+
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_topk_df(spark, sf_dir, "or", scorer="pl2")
+
+
+def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_topk_df(spark, sf_dir, "or", scorer="qld")
 
 
 def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +334,45 @@ SELECT qid, doc_id, score, (rnk - 1)::INT AS rank FROM (
 ) WHERE rnk <= {TOPK_K}"""
 
 
+def _scored_topk_sql(part_expr: str) -> str:
+    """Generic scorer oracle: per-posting partial -> sum per (qid, doc) ->
+    stable top-k."""
+    return f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS},
+scored AS (
+    SELECT q.qid, t.doc_id, sum(q.qweight * ({part_expr})) AS score
+    FROM qterms q
+    JOIN lex l ON l.term = q.term
+    JOIN tf t ON t.term = q.term
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, t.doc_id
+)
+SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {TOPK_K}"""
+
+
+ORACLES["dph_topk"] = _scored_topk_sql(
+    "((1.0 - t.tf::DOUBLE / d.doclen) * (1.0 - t.tf::DOUBLE / d.doclen) / (t.tf + 1.0))"
+    " * (t.tf * log2((t.tf * s.avg_doclen / d.doclen) * (s.num_docs::DOUBLE / l.cf))"
+    "    + 0.5 * log2(2 * pi() * t.tf * (1.0 - t.tf::DOUBLE / d.doclen)))"
+)
+
+ORACLES["pl2_topk"] = _scored_topk_sql(
+    "(1.0 / (t.tf * log2(1.0 + 1.0 * s.avg_doclen / d.doclen) + 1.0))"
+    " * (t.tf * log2(1.0 + 1.0 * s.avg_doclen / d.doclen)"
+    "      * log2(t.tf * log2(1.0 + 1.0 * s.avg_doclen / d.doclen) / (l.cf::DOUBLE / s.num_docs))"
+    "    + (l.cf::DOUBLE / s.num_docs - t.tf * log2(1.0 + 1.0 * s.avg_doclen / d.doclen)) * log2(exp(1.0))"
+    "    + 0.5 * log2(2 * pi() * t.tf * log2(1.0 + 1.0 * s.avg_doclen / d.doclen)))"
+)
+
+ORACLES["qld_topk"] = _scored_topk_sql(
+    "ln(1.0 + t.tf * s.total_doclen / (1000.0 * l.cf)) + ln(1000.0 / (d.doclen + 1000.0))"
+)
+
+
 IR_QUERIES = {
     "term_freq": q_term_freq,
     "doclen": q_doclen,
@@ -332,5 +383,8 @@ IR_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_blockmax": q_bm25_topk_blockmax,
     "ranked_and_topk": q_ranked_and_topk,
+    "dph_topk": q_dph_topk,
+    "pl2_topk": q_pl2_topk,
+    "qld_topk": q_qld_topk,
     "quantized_dot": q_quantized_dot,
 }

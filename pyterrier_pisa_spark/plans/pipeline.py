@@ -144,3 +144,46 @@ def retrieve(
 def search(index: LogicalIndex, query: str, **kw) -> DataFrame:
     """Single-query sugar (reference ``search()``, R17)."""
     return retrieve(index, [("1", query)], **kw)
+
+
+def build_logical_index_toks(corpus: DataFrame, scale: float = 100.0,
+                             docno_col: str | None = None,
+                             id_col: str | None = None) -> LogicalIndex:
+    """Pretokenized (learned-sparse) logical index: corpus has a
+    ``toks: map<string,double>`` column; weights quantized ``int(w*scale)``,
+    <=0 dropped, doclen = sum of impacts (reference ``indexers.py:89-115``,
+    requires stemmer='none', ``__init__.py:413-414``)."""
+    from ..sources.index_store import _toks_tf
+
+    prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col)
+    tf = _toks_tf(prepared, scale).persist()
+    lexicon = B.build_lexicon(tf)
+    doclens = tf.groupBy("docid").agg(F.first("doclen").alias("doclen"))
+    docmap = (
+        prepared.select("docid", "docno", "content_sha256")
+        .join(doclens, "docid", "left").fillna({"doclen": 0})
+        .select("docid", "docno", "doclen", "content_sha256")
+    )
+    stats = B.collection_stats(docmap)
+    return LogicalIndex(lexicon=lexicon, tf=tf, docmap=docmap, stats=stats,
+                        meta={"stemmer": "none", "pretokenized": True, "scale": scale})
+
+
+def retrieve_toks(
+    index: LogicalIndex,
+    queries_toks: list[tuple[str, dict]],
+    toks_scale: float = 100.0,
+    k: int = R.DEFAULT_NUM_RESULTS,
+    scorer: str = "quantized",
+    **scorer_params,
+) -> DataFrame:
+    """Pretokenized query retrieval (reference ``__init__.py:485-495``):
+    no stemming, NO stopword filtering (``_pisathon.cpp:463-492``); the
+    quantized scorer is the integer dot product whose exact arithmetic is
+    pinned by reference ``tests/test_dict.py:49-79``."""
+    spark = index.tf.sparkSession
+    qterms = R.query_toks_df(spark, queries_toks, toks_scale=toks_scale)
+    scored = R.attach_scores(qterms, index.tf, index.lexicon, index.stats,
+                             scorer=scorer, **scorer_params)
+    top = R.topk(R.ranked_or(scored), k)
+    return R.finalize(top, index.docmap, None)

@@ -1,0 +1,125 @@
+"""Structured-Streaming ingestion: incremental corpus -> index shards.
+
+The reference's corpus iterator is a bounded stream consumed once
+(``indexers.py:61-75``); here ingestion is a real unbounded stream:
+
+  stream_index_shards   readStream(corpus) -> termvec UDF -> tf-shard rows
+                        appended exactly-once (checkpointed file sink) to
+                        ``<index>/tf`` — the SAME shard table the batch
+                        build's phase 1 writes, so a later
+                        ``compact_stream_index`` simply runs batch phases
+                        2-4 over everything ingested so far (the
+                        shard/merge checkpoint boundary is unchanged).
+  streaming_term_counts windowed per-term counts with a watermark (late
+                        data handling) — the "trending terms" stream op.
+
+Streaming docids: a global dense rank cannot be assigned incrementally, so
+streaming docs get the 60-bit md5 hash of their docno — stable, dedupable,
+sortable (blocks stay docID-sorted); the (score DESC, docid ASC) tie-break
+remains deterministic, just over hashed rather than dense ids. Batch builds
+keep dense docno-rank ids.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import termvec_udf
+from ..operators.dedup import _md5_int
+
+
+def stream_docids(df: DataFrame, docno_col: str = "docno") -> DataFrame:
+    return df.withColumn("docid", _md5_int(F.col(docno_col)))
+
+
+def stream_index_shards(
+    stream: DataFrame,
+    path: str,
+    stemmer: str = "porter2",
+    docno_col: str = "docno",
+    content_col: str = "content",
+    trigger_available_now: bool = True,
+):
+    """stream (docno, content, ...) -> append (docid, term, tf, doclen) rows
+    to <path>/tf and (docid, docno, doclen, content_sha256) to <path>/docmap.
+    Returns the two StreamingQuery handles (file sink + checkpoint =
+    exactly-once per epoch)."""
+    prepared = stream_docids(stream, docno_col).withColumn(
+        "content_sha256", F.sha2(F.col(content_col), 256)
+    )
+    tv = prepared.withColumn("_tv", termvec_udf(stemmer)(F.col(content_col)))
+    tf = tv.select(
+        "docid",
+        F.col("_tv.doclen").alias("doclen"),
+        F.explode(F.arrays_zip(F.col("_tv.terms").alias("term"), F.col("_tv.tfs").alias("tf"))).alias("_e"),
+    ).select("docid", F.col("_e.term").alias("term"), F.col("_e.tf").cast("int").alias("tf"), "doclen")
+    docmap = tv.select(
+        "docid", F.col(docno_col).cast("string").alias("docno"),
+        F.col("_tv.doclen").alias("doclen"), "content_sha256"
+    )
+
+    def _writer(df: DataFrame, sub: str):
+        w = (
+            df.writeStream.format("parquet")
+            .option("path", os.path.join(path, sub))
+            .option("checkpointLocation", os.path.join(path, "_stream_checkpoints", sub))
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    return _writer(tf, "tf"), _writer(docmap, "docmap")
+
+
+def compact_stream_index(spark: SparkSession, path: str, **build_kwargs) -> dict:
+    """Run the batch build's phases 2-4 over everything the stream has
+    ingested so far (phase 1 = the streamed shards themselves). Re-compaction
+    after more data arrives just clears downstream phase markers and reruns —
+    the stream sink keeps appending independently."""
+    from ..sources.index_store import _commit_phase, _marker, build_index
+
+    # mark phase 1 as provided by the stream, clear downstream markers
+    tf_dir = os.path.join(path, "tf")
+    if not os.path.exists(tf_dir):
+        raise FileNotFoundError(f"no streamed tf shards at {tf_dir}")
+    ndocs = spark.read.parquet(os.path.join(path, "docmap")).count()
+    nposts = spark.read.parquet(tf_dir).count()
+    _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts, "streamed": True})
+    for ph in ("lexicon", "postings", "maxscore"):
+        m = _marker(path, ph)
+        if os.path.exists(m):
+            os.remove(m)
+    corpus_unused = spark.createDataFrame([], schema="docno string, content string")
+    return build_index(corpus_unused, path, mode="resume", **build_kwargs)
+
+
+def streaming_term_counts(
+    stream: DataFrame,
+    content_col: str = "content",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    stemmer: str = "none",
+) -> DataFrame:
+    """Event-time windowed term counts with late-data watermark:
+    (window_start, window_end, term, n). Attach your own writeStream sink
+    (append mode works once the watermark closes a window)."""
+    tv = stream.withColumn("_tv", termvec_udf(stemmer)(F.col(content_col)))
+    toks = tv.select(
+        ts_col,
+        F.explode(F.arrays_zip(F.col("_tv.terms").alias("term"),
+                               F.col("_tv.tfs").alias("tf"))).alias("_e"),
+    ).select(ts_col, F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf"))
+    win = F.window(F.col(ts_col), window, slide or window)
+    agg = (
+        toks.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "term")
+        .agg(F.sum("tf").cast("long").alias("n"))
+    )
+    return agg.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"), "term", "n")

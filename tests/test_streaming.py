@@ -1,0 +1,105 @@
+"""Structured-Streaming ingest: incremental shards -> compacted index must
+equal the batch-built index on the same corpus (docnos + scores; docids are
+hashed in streaming mode), plus windowed term counts with watermark."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyterrier_pisa_spark.plans.pipeline import build_logical_index, retrieve
+from pyterrier_pisa_spark.sources.index_store import load_index
+from pyterrier_pisa_spark.streaming.ingest import (
+    compact_stream_index,
+    stream_index_shards,
+    streaming_term_counts,
+)
+
+BATCH1 = [("d1", "spark streaming index build"), ("d2", "incremental shard merge")]
+BATCH2 = [("d3", "late arriving spark document"), ("d4", "merge spark shards again")]
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "source")
+    idx = str(root / "idx")
+    os.makedirs(src, exist_ok=True)
+    schema = "docno string, content string"
+
+    spark.createDataFrame(BATCH1, schema=schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q1, q2 = stream_index_shards(stream, idx, stemmer="none")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    # second micro-batch arrives later
+    spark.createDataFrame(BATCH2, schema=schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q1, q2 = stream_index_shards(stream, idx, stemmer="none")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    return src, idx
+
+
+def test_streamed_shards_exactly_once(spark, stream_dirs):
+    _, idx = stream_dirs
+    docmap = spark.read.parquet(os.path.join(idx, "docmap"))
+    assert docmap.count() == 4
+    assert docmap.select("docno").distinct().count() == 4
+
+
+def test_compacted_index_matches_batch(spark, stream_dirs):
+    _, idx = stream_dirs
+    compact_stream_index(spark, idx, stemmer="none")
+    pidx = load_index(spark, idx)
+    assert pidx.stats["num_docs"] == 4
+
+    queries = [("q1", "spark merge"), ("q2", "incremental")]
+    streamed = retrieve(pidx.as_logical(), queries, k=10, include_query=False).toPandas()
+
+    corpus = spark.createDataFrame(BATCH1 + BATCH2, schema="docno string, content string")
+    batch = retrieve(build_logical_index(corpus, stemmer="none"), queries, k=10,
+                     include_query=False).toPandas()
+    s = streamed.sort_values(["qid", "docno"]).reset_index(drop=True)
+    b = batch.sort_values(["qid", "docno"]).reset_index(drop=True)
+    assert s["docno"].tolist() == b["docno"].tolist()
+    assert s["qid"].tolist() == b["qid"].tolist()
+    for a, c in zip(s["score"], b["score"]):
+        assert a == pytest.approx(c, rel=1e-6)
+
+
+def test_recompaction_after_more_data(spark, stream_dirs):
+    src, idx = stream_dirs
+    spark.createDataFrame([("d5", "brand new spark doc")], schema="docno string, content string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("docno string, content string").parquet(src)
+    q1, q2 = stream_index_shards(stream, idx, stemmer="none")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    compact_stream_index(spark, idx, stemmer="none")
+    pidx = load_index(spark, idx)
+    assert pidx.stats["num_docs"] == 5
+
+
+def test_streaming_term_counts_watermark(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    rows = [
+        ("2024-01-01 00:01:00", "spark spark index"),
+        ("2024-01-01 00:04:00", "spark merge"),
+        ("2024-01-01 00:12:00", "index merge"),
+    ]
+    df = spark.createDataFrame(rows, schema="ts_s string, content string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("content string, ts timestamp").parquet(src)
+    agg = streaming_term_counts(stream, window="10 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("termcounts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from termcounts").collect()
+    d = {(str(r["window_start"]), r["term"]): r["n"] for r in out}
+    assert d[("2024-01-01 00:00:00", "spark")] == 3
+    assert d[("2024-01-01 00:10:00", "merge")] == 1
