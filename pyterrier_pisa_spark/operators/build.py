@@ -68,41 +68,51 @@ def assign_dense_ids(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
 
+    from pyspark.sql import Window
+
     part = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     part = part.sortWithinPartitions(*order_cols)
-
-    out_schema = T.StructType(
-        list(part.schema.fields)
-        + [T.StructField("_pid", T.IntegerType()), T.StructField("_lrank", T.LongType())]
+    # monotonically_increasing_id = (partition_id << 33) | row_in_partition —
+    # a free (narrow, JVM-only) per-partition dense rank; partition order
+    # equals key order because repartitionByRange assigns ascending ranges.
+    ranked = part.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_pid", F.shiftright(F.col("_mid"), 33).cast("int")
     )
-
-    def _add_rank(batches):
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_pid"] = pid
-            pdf["_lrank"] = range(seen, seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    ranked = part.mapInPandas(_add_rank, schema=out_schema)
-    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {r["_pid"]: r["cnt"] for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _offset long"
+    # Per-partition offsets as a SECOND BRANCH OF THE SAME PLAN: the range
+    # Exchange is canonically identical in both branches, so Spark's
+    # ReusedExchange executes the (sampled, hence per-execution) partitioning
+    # exactly once — offsets and ranks are guaranteed consistent without a
+    # persist() or a driver collect. The offsets window runs over
+    # ~num_partitions rows, never over data rows.
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_offset", F.coalesce(F.sum("_cnt").over(w), F.lit(0))).select(
+        "_pid", "_offset"
     )
+    lrank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     out = (
-        ranked.join(F.broadcast(offsets_df), "_pid")
-        .withColumn(id_col, (F.col("_offset") + F.col("_lrank")).cast("long"))
-        .drop("_pid", "_lrank", "_offset")
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_offset") + lrank).cast("long"))
+        .drop("_pid", "_mid", "_offset")
     )
     return out
+
+
+def validate_dense_ids(df: DataFrame, id_col: str) -> None:
+    """Cheap corruption guard for dense-id assignment (one agg job):
+    ids must be exactly 0..n-1 with no duplicates."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+    ).collect()[0]
+    n = row["n"]
+    if n and not (row["nd"] == n and row["mn"] == 0 and row["mx"] == n - 1):
+        raise AssertionError(
+            f"dense-id assignment corrupted for {id_col}: n={n} distinct={row['nd']} "
+            f"min={row['mn']} max={row['mx']}"
+        )
 
 
 def build_tf(corpus: DataFrame, stemmer: str = "porter2") -> DataFrame:

@@ -153,10 +153,10 @@ def build_logical_index_toks(corpus: DataFrame, scale: float = 100.0,
     ``toks: map<string,double>`` column; weights quantized ``int(w*scale)``,
     <=0 dropped, doclen = sum of impacts (reference ``indexers.py:89-115``,
     requires stemmer='none', ``__init__.py:413-414``)."""
-    from ..sources.index_store import _toks_tf
+    from ..sources.index_store import _fwd_to_tf, _toks_fwd
 
     prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col)
-    tf = _toks_tf(prepared, scale).persist()
+    tf = _fwd_to_tf(_toks_fwd(prepared, scale)).persist()
     lexicon = B.build_lexicon(tf)
     doclens = tf.groupBy("docid").agg(F.first("doclen").alias("doclen"))
     docmap = (

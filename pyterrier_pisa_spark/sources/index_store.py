@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 
 from ..operators import build as B
 from ..operators import score as S
-from ..operators.codec import varint_decode, varint_encode, delta_encode
+from ..operators.codec import (delta_encode, delta_encode_segments, varint_decode,
+                               varint_encode, varint_encode_segments)
 from ..plans.pipeline import LogicalIndex, prepare_corpus
 
 FORMAT_VERSION = 1
@@ -64,12 +65,6 @@ POSTINGS_SCHEMA = (
     "term_id long, block_id long, count int, docid_first long, docid_last long, "
     "block_max_score double, docids_delta binary, tfs binary, doclens binary"
 )
-_SEGMENT_SCHEMA = (
-    "term_id long, block_id long, aligned_full boolean, docids array<long>, "
-    "tfs array<int>, doclens array<long>"
-)
-
-
 def _marker(path: str, name: str) -> str:
     return os.path.join(path, "_phases", f"{name}.done")
 
@@ -90,7 +85,9 @@ def _append_metrics(spark: SparkSession, path: str, phase: str, rows: list[tuple
     df = spark.createDataFrame(
         rows, schema="phase string, partition_id long, docs long, postings long, bytes long, ts double"
     )
-    df.coalesce(1).write.mode("append").parquet(os.path.join(path, "metrics"))
+    # no coalesce(1): on a local-relation source it forces a slow RDD path
+    # (~4s); a tiny multi-file metrics dir is harmless
+    df.write.mode("append").parquet(os.path.join(path, "metrics"))
 
 
 def _pack_block_pdf(rows: list[tuple]) -> pd.DataFrame:
@@ -143,37 +140,42 @@ def build_index(
     os.makedirs(path, exist_ok=True)
 
     t0 = time.time()
-    # ---------------------------------------------------------- phase 1: tf
+    # --------------------------------------------------------- phase 1: fwd
+    # ONE UDF pass writes ONE table: the forward index
+    # (docid, docno, content_sha256, doclen, terms[], tfs[]) — the shard
+    # checkpoint. tf and docmap are column-pruned projections of it (tf's
+    # explode is pure JVM; docmap never touches the terms columns), which is
+    # also the reference's fwd artifact (S5 ``get_corpus_iter``,
+    # ``__init__.py:371-390``) for free.
     if not _phase_done(path, "tf"):
         prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col,
                                   num_partitions=num_partitions)
-        tf = _toks_tf(prepared, scale) if pretokenized else B.build_tf(prepared, stemmer=stemmer)
-        # the tf parquet write IS the shard checkpoint; docmap derives from the
-        # WRITTEN tf (no UDF recompute, no lineage nondeterminism)
-        tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
-        tf_r = spark.read.parquet(os.path.join(path, "tf"))
-        doclens = tf_r.groupBy("docid").agg(F.first("doclen").alias("doclen"))
-        docmap = (
-            prepared.select("docid", "docno", "content_sha256")
-            .join(doclens, "docid", "left").fillna({"doclen": 0})
-            .select("docid", "docno", "doclen", "content_sha256")
-        )
-        docmap.write.mode("overwrite").parquet(os.path.join(path, "docmap"))
-        ndocs = spark.read.parquet(os.path.join(path, "docmap")).count()
-        nposts = tf_r.count()
+        fwd = _toks_fwd(prepared, scale) if pretokenized else _text_fwd(prepared, stemmer)
+        fwd.write.mode("overwrite").parquet(os.path.join(path, "fwd"))
+        fwd_r = spark.read.parquet(os.path.join(path, "fwd"))
+        agg = fwd_r.agg(F.count("*").alias("ndocs"),
+                        F.sum(F.size("terms")).alias("nterms")).collect()[0]
+        ndocs, nposts = agg["ndocs"], int(agg["nterms"] or 0)
         _append_metrics(spark, path, "tf", [("tf", -1, ndocs, nposts, 0, time.time())])
         _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts, "sec": time.time() - t0})
 
-    tf = spark.read.parquet(os.path.join(path, "tf"))
-    docmap = spark.read.parquet(os.path.join(path, "docmap"))
+    if os.path.exists(os.path.join(path, "fwd")):
+        fwd = spark.read.parquet(os.path.join(path, "fwd"))
+        tf = _fwd_to_tf(fwd)
+        docmap = fwd.select("docid", "docno", "doclen", "content_sha256")
+    else:  # streaming ingest writes flat tf + docmap shards instead of fwd
+        tf = spark.read.parquet(os.path.join(path, "tf"))
+        docmap = spark.read.parquet(os.path.join(path, "docmap"))
 
     # ----------------------------------------------------- phase 2: lexicon
     if not _phase_done(path, "lexicon"):
         t1 = time.time()
         lexicon = B.build_lexicon(tf, num_partitions)
         lexicon.write.mode("overwrite").parquet(os.path.join(path, "lexicon"))
+        lex_r = spark.read.parquet(os.path.join(path, "lexicon"))
+        B.validate_dense_ids(lex_r, "term_id")
         stats = B.collection_stats(docmap)
-        stats["num_terms"] = spark.read.parquet(os.path.join(path, "lexicon")).count()
+        stats["num_terms"] = lex_r.count()
         _append_metrics(spark, path, "lexicon",
                         [("lexicon", -1, stats["num_docs"], stats["num_terms"], 0, time.time())])
         _commit_phase(path, "lexicon", {"stats": stats, "sec": time.time() - t1})
@@ -220,107 +222,253 @@ def build_index(
     return meta
 
 
-def _toks_tf(prepared: DataFrame, scale: float) -> DataFrame:
+def _text_fwd(prepared: DataFrame, stemmer: str) -> DataFrame:
+    from ..functions.tokenizer import termvec_udf
+
+    tv = prepared.withColumn("_tv", termvec_udf(stemmer)(F.col("content")))
+    return tv.select(
+        "docid", "docno", "content_sha256",
+        F.col("_tv.doclen").alias("doclen"),
+        F.col("_tv.terms").alias("terms"),
+        F.col("_tv.tfs").alias("tfs"),
+    )
+
+
+def _toks_fwd(prepared: DataFrame, scale: float) -> DataFrame:
     """Pretokenized (learned-sparse) path: ``toks: map<string,double>`` ->
-    quantized impacts (reference ``indexers.py:97-107``: int(w*scale)
-    truncation, drop <=0, doclen = sum of impacts)."""
-    exploded = prepared.select(
-        "docid", F.explode(F.col("toks")).alias("term", "weight")
-    ).withColumn("tf", F.floor(F.col("weight") * F.lit(scale)).cast("int")).filter(F.col("tf") > 0)
-    doclen = exploded.groupBy("docid").agg(F.sum("tf").cast("long").alias("doclen"))
-    return exploded.join(doclen, "docid").select("docid", "term", "tf", "doclen")
+    quantized impact arrays (reference ``indexers.py:97-107``: int(w*scale)
+    truncation, drop <=0, doclen = sum of impacts). Pure JVM column ops."""
+    ent = F.filter(
+        F.transform(
+            F.map_entries(F.col("toks")),
+            lambda e: F.struct(
+                e["key"].alias("term"),
+                F.floor(e["value"] * F.lit(scale)).cast("int").alias("tf"),
+            ),
+        ),
+        lambda s: s["tf"] > 0,
+    )
+    out = prepared.withColumn("_ent", ent)
+    return out.select(
+        "docid", "docno", "content_sha256",
+        F.aggregate(F.col("_ent"), F.lit(0).cast("long"),
+                    lambda a, s: a + s["tf"]).alias("doclen"),
+        F.col("_ent.term").alias("terms"),
+        F.col("_ent.tf").alias("tfs"),
+    )
+
+
+def _fwd_to_tf(fwd: DataFrame) -> DataFrame:
+    """fwd -> (docid, term, tf, doclen) — JVM-side explode, no Python."""
+    return fwd.select(
+        "docid", "doclen",
+        F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("_e"),
+    ).select("docid", F.col("_e.term").alias("term"),
+             F.col("_e.tf").cast("int").alias("tf"), "doclen")
 
 
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
                     num_partitions) -> None:
+    """The invert: ONE posting-granularity shuffle, then streaming vectorized
+    block packing.
+
+    Plan:
+      tf ⋈ lexicon(term->term_id,df)                [broadcast/AQE join]
+      counts  = groupBy(term_id, chunk).count()     [combiner agg: tiny rows]
+      starts  = prefix-sum window over counts       [per-term, counter rows]
+      runs    = repartition(term_id, chunk)         [THE shuffle; chunk =
+                .sortWithinPartitions(.., docid)     deterministic salt, so
+                                                     Zipf-hot terms spread]
+      runs ⋈ broadcast(starts)                      [map-side, order-kept]
+      mapInPandas streaming kernel: contiguous (term_id, chunk) groups are
+        cut into 128-aligned segments; ALL full segments of a batch pack in
+        a handful of numpy passes (reduceat maxima, segment varint); only
+        boundary partials (<=2/chunk) re-shuffle through a tiny agg.
+
+    No collect_list materialization, no per-posting Python, no per-block
+    Python: the kernel touches numpy arrays the size of an Arrow batch.
+    """
     num_docs, avgdl = stats["num_docs"], stats["avg_doclen"]
     np_ = num_partitions or spark.sparkContext.defaultParallelism
 
     tf2 = tf.join(lexicon.select("term", "term_id", "df"), "term").select(
         "term_id", "docid", "tf", "doclen", "df"
-    )
-    chunked = (
-        tf2.withColumn("chunk", (F.col("docid") / F.lit(chunk_span)).cast("long"))
-        .groupBy("term_id", "chunk")
-        .agg(
-            F.first("df").alias("df"),
-            F.sort_array(F.collect_list(F.struct("docid", "tf", "doclen"))).alias("plist"),
-        )
-        .withColumn("n", F.size("plist"))
-    )
-    # per-term prefix sums over chunk counts (rows = distinct (term,chunk): tiny
-    # relative to postings; the window per term is over #chunks, never #postings)
+    ).withColumn("chunk", (F.col("docid") / F.lit(chunk_span)).cast("long"))
+
+    counts = tf2.groupBy("term_id", "chunk").agg(F.count("*").alias("n"))
     w = Window.partitionBy("term_id").orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
-    chunked = chunked.withColumn("start_pos", F.coalesce(F.sum("n").over(w), F.lit(0)))
-
-    def _split_segments(batches):
-        for pdf in batches:
-            rows = {"term_id": [], "block_id": [], "aligned_full": [], "docids": [],
-                    "tfs": [], "doclens": []}
-            for term_id, start, plist in zip(pdf["term_id"], pdf["start_pos"], pdf["plist"]):
-                n = len(plist)
-                docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64, count=n)
-                tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64, count=n)
-                dls = np.fromiter((p["doclen"] for p in plist), dtype=np.int64, count=n)
-                pos = 0
-                while pos < n:
-                    gpos = start + pos
-                    block_id = gpos // block_size
-                    seg_end = min(n, pos + (block_size - gpos % block_size))
-                    seg_len = seg_end - pos
-                    rows["term_id"].append(term_id)
-                    rows["block_id"].append(block_id)
-                    rows["aligned_full"].append(seg_len == block_size)
-                    rows["docids"].append(docids[pos:seg_end])
-                    rows["tfs"].append(tfs[pos:seg_end].astype(np.int32))
-                    rows["doclens"].append(dls[pos:seg_end])
-                    pos = seg_end
-            yield pd.DataFrame(rows)
-
-    segments = chunked.select("term_id", "start_pos", "plist").mapInPandas(
-        _split_segments, schema=_SEGMENT_SCHEMA
+    starts = counts.withColumn("start_pos", F.coalesce(F.sum("n").over(w), F.lit(0))).select(
+        "term_id", "chunk", "start_pos"
     )
 
-    term_df = lexicon.select("term_id", "df")
+    # broadcast is REQUIRED, not a hint-preference: a sort-merge join here
+    # would re-exchange the runs and break the kernel's contiguous-group
+    # contract. starts is one counter row per non-empty (term, chunk); for
+    # corpora where that outgrows broadcast, raise chunk_span.
+    runs = tf2.repartition(np_, "term_id", "chunk")
+    joined = runs.join(F.broadcast(starts), ["term_id", "chunk"]).sortWithinPartitions(
+        "term_id", "chunk", "docid"
+    ).select("term_id", "chunk", "start_pos", "docid", "tf", "doclen", "df")
 
-    def _pack_full(key_iter):
-        """Pack segments straight to block rows. Input pdfs carry df joined in."""
-        for pdf in key_iter:
-            rows = []
-            for term_id, block_id, docids, tfs, dls, df_ in zip(
-                pdf["term_id"], pdf["block_id"], pdf["docids"], pdf["tfs"], pdf["doclens"], pdf["df"]
-            ):
-                d = np.asarray(docids, dtype=np.int64)
-                t = np.asarray(tfs, dtype=np.int64)
-                dl = np.asarray(dls, dtype=np.int64)
-                bmax = float(np.max(S.bm25_np(t.astype(np.float64), dl.astype(np.float64),
-                                              float(df_), num_docs, avgdl, k1, b)))
-                rows.append((term_id, block_id, d, t, dl, bmax))
-            if rows:
-                yield _pack_block_pdf(rows)
+    _OUT_SCHEMA = (
+        POSTINGS_SCHEMA
+        + ", aligned_full boolean, df long, docids_arr array<long>, tfs_arr array<int>, "
+        "doclens_arr array<long>"
+    )
 
-    full = segments.filter(F.col("aligned_full")).join(F.broadcast(term_df), "term_id")
-    full_blocks = full.mapInPandas(_pack_full, schema=POSTINGS_SCHEMA)
+    def _pack_full_segments(tid, bid, dfs, seg_starts, seg_lengths, d, t, l):
+        """All full segments of one batch -> block rows, vectorized."""
+        idx = np.concatenate([np.arange(a, a + ln) for a, ln in zip(seg_starts, seg_lengths)])
+        sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
+        out_starts = np.concatenate(([0], np.cumsum(seg_lengths)))[:-1]
+        df_rep = np.repeat(dfs.astype(np.float64), seg_lengths)
+        idf = np.log((num_docs - df_rep + 0.5) / (df_rep + 0.5))
+        scores = idf * (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
+        bmax = np.maximum.reduceat(scores, out_starts)
+        ends = out_starts + seg_lengths - 1
+        gaps = delta_encode_segments(sel_d, out_starts)
+        return pd.DataFrame({
+            "term_id": tid, "block_id": bid,
+            "count": seg_lengths.astype(np.int32),
+            "docid_first": sel_d[out_starts], "docid_last": sel_d[ends],
+            "block_max_score": bmax,
+            "docids_delta": varint_encode_segments(gaps.astype(np.uint64), out_starts),
+            "tfs": varint_encode_segments(sel_t.astype(np.uint64), out_starts),
+            "doclens": varint_encode_segments(sel_l.astype(np.uint64), out_starts),
+            "aligned_full": True, "df": dfs,
+            "docids_arr": None, "tfs_arr": None, "doclens_arr": None,
+        })
+
+    def _process(term_id, chunk, start_pos, docid, tf_, doclen, df_):
+        """One or more COMPLETE contiguous groups -> (full_df, partial_rows)."""
+        n = len(docid)
+        gpos = start_pos + _group_local_rank(term_id, chunk, n)
+        seg_mask = (gpos % block_size) == 0
+        grp_change = np.empty(n, dtype=bool)
+        grp_change[0] = True
+        np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1], out=grp_change[1:])
+        seg_mask |= grp_change
+        seg_starts = np.flatnonzero(seg_mask)
+        seg_lengths = np.diff(seg_starts, append=n)
+        full = seg_lengths == block_size
+        fdf = None
+        if full.any():
+            fs, fl = seg_starts[full], seg_lengths[full]
+            fdf = _pack_full_segments(
+                term_id[fs], gpos[fs] // block_size, df_[fs], fs, fl, docid, tf_, doclen
+            )
+        partial_rows = None
+        if (~full).any():
+            ps, pl = seg_starts[~full], seg_lengths[~full]
+            partial_rows = pd.DataFrame({
+                "term_id": term_id[ps], "block_id": gpos[ps] // block_size,
+                "count": pl.astype(np.int32),
+                "docid_first": docid[ps], "docid_last": docid[ps + pl - 1],
+                "block_max_score": 0.0, "docids_delta": None, "tfs": None, "doclens": None,
+                "aligned_full": False, "df": df_[ps],
+                "docids_arr": [docid[a:a + ln] for a, ln in zip(ps, pl)],
+                "tfs_arr": [tf_[a:a + ln].astype(np.int32) for a, ln in zip(ps, pl)],
+                "doclens_arr": [doclen[a:a + ln] for a, ln in zip(ps, pl)],
+            })
+        return fdf, partial_rows
+
+    def _group_local_rank(term_id, chunk, n):
+        """0-based rank within each contiguous (term_id, chunk) group."""
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1], out=change[1:])
+        idx = np.arange(n, dtype=np.int64)
+        grp_start = idx[change]
+        return idx - grp_start[np.cumsum(change) - 1]
+
+    def _chunks_to_blocks(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            tid = pdf["term_id"].to_numpy()
+            chk = pdf["chunk"].to_numpy()
+            # hold back the (possibly incomplete) final group for the next batch
+            last_t, last_c = tid[-1], chk[-1]
+            tail_mask = (tid == last_t) & (chk == last_c)
+            if tail_mask.all():
+                carry = pdf
+                continue
+            last_group_start = int(np.flatnonzero(~tail_mask)[-1]) + 1
+            carry = pdf.iloc[last_group_start:]
+            head = pdf.iloc[:last_group_start]
+            fdf, prow = _process(
+                head["term_id"].to_numpy(), head["chunk"].to_numpy(),
+                head["start_pos"].to_numpy(), head["docid"].to_numpy(),
+                head["tf"].to_numpy(np.int64), head["doclen"].to_numpy(),
+                head["df"].to_numpy(),
+            )
+            if fdf is not None:
+                yield fdf
+            if prow is not None:
+                yield prow
+        if carry is not None and len(carry):
+            fdf, prow = _process(
+                carry["term_id"].to_numpy(), carry["chunk"].to_numpy(),
+                carry["start_pos"].to_numpy(), carry["docid"].to_numpy(),
+                carry["tf"].to_numpy(np.int64), carry["doclen"].to_numpy(),
+                carry["df"].to_numpy(),
+            )
+            if fdf is not None:
+                yield fdf
+            if prow is not None:
+                yield prow
+
+    mixed = joined.mapInPandas(_chunks_to_blocks, schema=_OUT_SCHEMA).persist()
+
+    full_blocks = mixed.filter(F.col("aligned_full")).select(
+        "term_id", "block_id", "count", "docid_first", "docid_last",
+        "block_max_score", "docids_delta", "tfs", "doclens")
 
     # boundary partials: <= 2 per (term, chunk); merge by (term_id, block_id)
+    def _pack_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seg_d = [np.asarray(x, dtype=np.int64) for x in pdf["docids_arr"]]
+            seg_t = [np.asarray(x, dtype=np.int64) for x in pdf["tfs_arr"]]
+            seg_l = [np.asarray(x, dtype=np.int64) for x in pdf["doclens_arr"]]
+            lengths = np.fromiter((len(x) for x in seg_d), dtype=np.int64, count=len(seg_d))
+            d = np.concatenate(seg_d) if seg_d else np.empty(0, dtype=np.int64)
+            t = np.concatenate(seg_t) if seg_t else np.empty(0, dtype=np.int64)
+            l = np.concatenate(seg_l) if seg_l else np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+            yield _pack_full_segments(
+                pdf["term_id"].to_numpy(), pdf["block_id"].to_numpy(),
+                pdf["df"].to_numpy(), starts, lengths, d, t, l,
+            )
+
     partial = (
-        segments.filter(~F.col("aligned_full"))
+        mixed.filter(~F.col("aligned_full"))
         .groupBy("term_id", "block_id")
         .agg(
+            F.first("df").alias("df"),
             F.flatten(F.sort_array(F.collect_list(F.struct(
-                F.element_at("docids", 1).alias("d0"), "docids", "tfs", "doclens")))["docids"]).alias("docids"),
+                F.element_at("docids_arr", 1).alias("d0"), "docids_arr", "tfs_arr", "doclens_arr")))["docids_arr"]).alias("docids_arr"),
             F.flatten(F.sort_array(F.collect_list(F.struct(
-                F.element_at("docids", 1).alias("d0"), "docids", "tfs", "doclens")))["tfs"]).alias("tfs"),
+                F.element_at("docids_arr", 1).alias("d0"), "docids_arr", "tfs_arr", "doclens_arr")))["tfs_arr"]).alias("tfs_arr"),
             F.flatten(F.sort_array(F.collect_list(F.struct(
-                F.element_at("docids", 1).alias("d0"), "docids", "tfs", "doclens")))["doclens"]).alias("doclens"),
+                F.element_at("docids_arr", 1).alias("d0"), "docids_arr", "tfs_arr", "doclens_arr")))["doclens_arr"]).alias("doclens_arr"),
         )
-        .join(F.broadcast(term_df), "term_id")
     )
-    partial_blocks = partial.mapInPandas(_pack_full, schema=POSTINGS_SCHEMA)
+    partial_blocks = partial.mapInPandas(_pack_partials, schema=_OUT_SCHEMA).select(
+        "term_id", "block_id", "count", "docid_first", "docid_last",
+        "block_max_score", "docids_delta", "tfs", "doclens")
 
     out = full_blocks.unionByName(partial_blocks)
     out = out.repartitionByRange(np_, "term_id", "block_id").sortWithinPartitions("term_id", "block_id")
     out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    mixed.unpersist()
 
 
 # ------------------------------------------------------------------ loading
@@ -362,6 +510,16 @@ class PersistedIndex:
                             stats=self.stats, blocks=self.blocks, meta=self.meta)
 
 
+def _load_docmap(spark: SparkSession, path: str) -> DataFrame:
+    """docmap = column-pruned projection of fwd (batch build) or the
+    standalone docmap table (streaming ingest)."""
+    if os.path.exists(os.path.join(path, "docmap")):
+        return spark.read.parquet(os.path.join(path, "docmap")).select(
+            "docid", "docno", "doclen", "content_sha256")
+    return spark.read.parquet(os.path.join(path, "fwd")).select(
+        "docid", "docno", "doclen", "content_sha256")
+
+
 def load_index(spark: SparkSession, path: str) -> PersistedIndex:
     meta = json.load(open(os.path.join(path, "meta.json")))
     lexicon = spark.read.parquet(os.path.join(path, "lexicon"))
@@ -372,6 +530,6 @@ def load_index(spark: SparkSession, path: str) -> PersistedIndex:
         meta=meta,
         lexicon=lexicon,
         blocks=spark.read.parquet(os.path.join(path, "postings")),
-        docmap=spark.read.parquet(os.path.join(path, "docmap")),
+        docmap=_load_docmap(spark, path),
         stats=meta["stats"],
     )

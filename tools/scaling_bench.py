@@ -1,0 +1,109 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule: throughput scaling
+efficiency >= 0.8 going from N to 4N executors, build and query).
+
+No real cluster exists in this sandbox, so the same job runs at two
+parallelism levels — local[8] vs local[32] — on the SAME input; efficiency
+is (throughput_4N / throughput_N) / 4.
+
+Each measurement is steady-state: a warm-up build+query JITs the JVM and
+spawns the Arrow Python workers before the timed runs.
+
+Usage: python tools/scaling_bench.py [--docs 50000] [--queries 200]
+Prints one JSON line; also appended by hand to BASELINE.md §BENCH.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, tempfile, time
+cpus = int(sys.argv[1]); ndocs = int(sys.argv[2]); nq = int(sys.argv[3])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+    .appName(f"scaling_{cpus}")
+    .config("spark.sql.shuffle.partitions", str(cpus))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "24g")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+from pyterrier_pisa_spark.operators.wand import retrieve_blockmax
+tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+# ---- warm-up (JIT + python workers), untimed
+warm = synth_code_corpus(spark, num_docs=2000, seed=1)
+build_index(warm, f"{tmp}/warm", stemmer="porter2", mode="overwrite")
+widx = load_index(spark, f"{tmp}/warm")
+retrieve_blockmax(widx, [("w", "parse index")], k=100, include_query=False).count()
+# ---- timed build
+corpus = synth_code_corpus(spark, num_docs=ndocs, seed=11)
+t0 = time.time()
+build_index(corpus, f"{tmp}/idx", stemmer="porter2", mode="overwrite")
+build_sec = time.time() - t0
+# ---- timed query batch (warm the index reads first)
+idx = load_index(spark, f"{tmp}/idx")
+vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df")).limit(30).collect()]
+queries = [(f"q{i}", f"{vocab[i % 30]} {vocab[(i + 7) % 30]} {vocab[(i + 13) % 30]}")
+           for i in range(nq)]
+retrieve_blockmax(idx, queries[:8], k=1000, include_query=False).count()
+t0 = time.time()
+nres = retrieve_blockmax(idx, queries, k=1000, include_query=False).count()
+query_sec = time.time() - t0
+print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
+                  "build_docs_per_sec": round(ndocs / build_sec, 1),
+                  "query_sec": round(query_sec, 2),
+                  "queries_per_sec": round(nq / query_sec, 1),
+                  "ms_per_query": round(1000 * query_sec / nq, 2),
+                  "result_rows": nres}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50000)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--levels", type=str, default="8,32")
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(here, "_scaling_worker.py")
+    with open(script, "w") as fh:
+        fh.write(WORKER)
+
+    results = {}
+    for cpus in [int(x) for x in args.levels.split(",")]:
+        out = subprocess.run(
+            [sys.executable, script, str(cpus), str(args.docs), str(args.queries)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if not line:
+            print(f"FAILED at local[{cpus}]:", out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(1)
+        results[cpus] = json.loads(line[-1])
+
+    lo, hi = sorted(results)
+    ratio = hi / lo
+    build_eff = (results[hi]["build_docs_per_sec"] / results[lo]["build_docs_per_sec"]) / ratio
+    query_eff = (results[hi]["queries_per_sec"] / results[lo]["queries_per_sec"]) / ratio
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "levels": results,
+        "parallelism_ratio": ratio,
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+        "target": 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()
