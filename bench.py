@@ -7,7 +7,8 @@ Prints ONE JSON line:
 
 Workloads:
   build_documents_index   persisted block-index build over documents.parquet
-  bm25_blockmax_batch     40-query batch, k=1000, pruned kernel
+  bm25_blockmax_batch     40-query batch, k=1000, pruned per-query kernel
+  bm25_batchmode_batch    same batch, docid-partitioned batch kernel
   bm25_exhaustive_batch   same batch through the exhaustive DataFrame plan
   synth_build_20k         synthetic source-code corpus (20k docs, zipfian)
                           end-to-end build -> docs/sec in extra
@@ -45,7 +46,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from pyterrier_pisa_spark.operators.wand import retrieve_blockmax
+    from pyterrier_pisa_spark.operators.wand import retrieve_blockmax, retrieve_blockmax_batch
     from pyterrier_pisa_spark.plans.pipeline import build_logical_index, retrieve
     from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
     from pyterrier_pisa_spark.sources.index_store import build_index, load_index
@@ -66,6 +67,13 @@ def main() -> None:
     extra: dict = {"cpus": CPUS}
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
 
+    # warm-up (untimed): JIT the JVM codepaths + spawn Arrow python workers so
+    # headline numbers measure steady-state, not first-call compilation
+    warm = synth_code_corpus(spark, num_docs=1000, seed=1)
+    build_index(warm, f"{tmp}/warm", stemmer="porter2", mode="overwrite")
+    widx = load_index(spark, f"{tmp}/warm")
+    retrieve_blockmax(widx, [("w", "parse index")], k=100, include_query=False).count()
+
     # ---- 1. build over driver testdata documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -79,7 +87,7 @@ def main() -> None:
     extra["documents_docs_per_sec"] = round(n_docs / timings["build_documents_index"], 1)
 
     idx = load_index(spark, f"{tmp}/docs_idx")
-    vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df")).limit(24).collect()]
+    vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(24).collect()]
     queries = make_queries(vocab, 40)
 
     # ---- 2. pruned kernel batch
@@ -88,6 +96,13 @@ def main() -> None:
     timings["bm25_blockmax_batch"] = time.time() - t0
     extra["blockmax_ms_per_query"] = round(1000 * timings["bm25_blockmax_batch"] / len(queries), 2)
     extra["blockmax_rows"] = n_res
+
+    # ---- 2b. docid-partitioned batch mode (index moves once per batch)
+    t0 = time.time()
+    n_res_b = retrieve_blockmax_batch(idx, queries, k=K, include_query=False).count()
+    timings["bm25_batchmode_batch"] = time.time() - t0
+    extra["batchmode_ms_per_query"] = round(1000 * timings["bm25_batchmode_batch"] / len(queries), 2)
+    extra["batchmode_rows"] = n_res_b
 
     # ---- 3. exhaustive DataFrame plan batch
     logical = idx.as_logical()
@@ -107,7 +122,7 @@ def main() -> None:
 
     # ---- 5. query the synth index
     sidx = load_index(spark, f"{tmp}/synth_idx")
-    svocab = [r["term"] for r in sidx.lexicon.orderBy(F.desc("df")).limit(24).collect()]
+    svocab = [r["term"] for r in sidx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(24).collect()]
     squeries = make_queries(svocab, 40)
     t0 = time.time()
     retrieve_blockmax(sidx, squeries, k=K, include_query=False).count()

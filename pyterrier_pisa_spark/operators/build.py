@@ -78,12 +78,16 @@ def assign_dense_ids(
     ranked = part.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftright(F.col("_mid"), 33).cast("int")
     )
-    # Per-partition offsets as a SECOND BRANCH OF THE SAME PLAN: the range
-    # Exchange is canonically identical in both branches, so Spark's
-    # ReusedExchange executes the (sampled, hence per-execution) partitioning
-    # exactly once — offsets and ranks are guaranteed consistent without a
-    # persist() or a driver collect. The offsets window runs over
-    # ~num_partitions rows, never over data rows.
+    # persist FREEZES the sampled range partitioning: the offsets branch and
+    # the join branch below must see the SAME partition boundaries, and
+    # exchange-reuse alone is not guaranteed under AQE. A recompute of an
+    # evicted cached partition replays the frozen RDD lineage (same sampling
+    # seed), so this stays deterministic even under memory pressure.
+    # Callers that assign ids during an index build additionally run
+    # validate_dense_ids as a hard corruption gate.
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    # Per-partition offsets as a second branch of the same cached plan; the
+    # offsets window runs over ~num_partitions rows, never over data rows.
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_offset", F.coalesce(F.sum("_cnt").over(w), F.lit(0))).select(
@@ -98,9 +102,9 @@ def assign_dense_ids(
     return out
 
 
-def validate_dense_ids(df: DataFrame, id_col: str) -> None:
-    """Cheap corruption guard for dense-id assignment (one agg job):
-    ids must be exactly 0..n-1 with no duplicates."""
+def validate_dense_ids(df: DataFrame, id_col: str, require_dense: bool = True) -> None:
+    """Cheap corruption guard for id assignment (one agg job): ids must be
+    unique; with ``require_dense`` additionally exactly 0..n-1."""
     row = df.agg(
         F.count("*").alias("n"),
         F.countDistinct(id_col).alias("nd"),
@@ -108,10 +112,13 @@ def validate_dense_ids(df: DataFrame, id_col: str) -> None:
         F.max(id_col).alias("mx"),
     ).collect()[0]
     n = row["n"]
-    if n and not (row["nd"] == n and row["mn"] == 0 and row["mx"] == n - 1):
+    if not n:
+        return
+    ok = row["nd"] == n and (not require_dense or (row["mn"] == 0 and row["mx"] == n - 1))
+    if not ok:
         raise AssertionError(
-            f"dense-id assignment corrupted for {id_col}: n={n} distinct={row['nd']} "
-            f"min={row['mn']} max={row['mx']}"
+            f"id assignment corrupted for {id_col}: n={n} distinct={row['nd']} "
+            f"min={row['mn']} max={row['mx']} (require_dense={require_dense})"
         )
 
 

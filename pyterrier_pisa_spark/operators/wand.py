@@ -60,83 +60,159 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
     return uniq, out
 
 
+def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
+    """Shared TAAT core: terms (sorted by max_score desc) over per-term block
+    DataFrames -> (docids, scores) exact top-k candidates (unsorted beyond
+    the guarantee that only docs outside any possible top-k were skipped)."""
+    ubs = np.array([qw * ms for (_, qw, _, ms) in terms], dtype=np.float64)
+    can_prune = all(
+        np.log((num_docs - df_ + 0.5) / (df_ + 0.5)) > 0 for (_, _, df_, _) in terms
+    ) and not conjunctive
+    rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+
+    acc_d = np.empty(0, dtype=np.int64)
+    acc_s = np.empty(0, dtype=np.float64)
+    nmatch_d = acc_d
+    nmatch_c = np.empty(0, dtype=np.int64)
+    theta = -np.inf
+
+    for i, (tid, qw, df_, _ms) in enumerate(terms):
+        grp = by_term.get(int(tid))
+        if grp is None:
+            continue
+        seg_d, seg_s = [], []
+        for row in grp.itertuples():
+            if can_prune and acc_d.size >= k and theta > -np.inf:
+                lo = np.searchsorted(acc_d, row.docid_first, "left")
+                hi = np.searchsorted(acc_d, row.docid_last, "right")
+                acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
+                if qw * row.block_max_score + max(acc_max, 0.0) + rest_ub[i] < theta:
+                    continue
+            d, tf, dl = _decode_posting_arrays(row)
+            seg_d.append(d)
+            seg_s.append(qw * S.bm25_np(tf, dl, float(df_), num_docs, avg_doclen, k1, b))
+        if seg_d:
+            new_d = np.concatenate(seg_d)
+            new_s = np.concatenate(seg_s)
+            acc_d, acc_s = _merge_acc(acc_d, acc_s, new_d, new_s)
+            if conjunctive:
+                nmatch_d, nmatch_c = _merge_acc(
+                    nmatch_d, nmatch_c.astype(np.float64), new_d, np.ones(new_d.size)
+                )
+                nmatch_c = nmatch_c.astype(np.int64)
+        if can_prune and acc_s.size >= k:
+            theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+
+    if conjunctive and acc_d.size:
+        keep = nmatch_c >= len(terms)
+        acc_d, acc_s = acc_d[keep], acc_s[keep]
+    return acc_d, acc_s
+
+
+def _topk_frame(qid, acc_d, acc_s, k):
+    kk = min(k, acc_d.size)
+    # top-k with (score DESC, docid ASC): lexsort on (-score, docid)
+    order = np.lexsort((acc_d, -acc_s))[:kk]
+    return pd.DataFrame({
+        "qid": qid,
+        "docid": acc_d[order],
+        "score": acc_s[order],
+        "rank": np.arange(kk, dtype=np.int32),
+    })
+
+
+_EMPTY = None
+
+
+def _empty_frame():
+    return pd.DataFrame({"qid": pd.Series(dtype=object),
+                         "docid": pd.Series(dtype=np.int64),
+                         "score": pd.Series(dtype=np.float64),
+                         "rank": pd.Series(dtype=np.int32)})
+
+
 def make_query_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
                       k: int, k1: float, b: float, conjunctive: bool = False):
-    """Build the applyInPandas kernel. ``qinfo``: qid -> list of
+    """Build the per-query applyInPandas kernel. ``qinfo``: qid -> list of
     (term_id, qweight, df, max_score), sorted by max_score desc."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"qid": pd.Series(dtype=object),
-                              "docid": pd.Series(dtype=np.int64),
-                              "score": pd.Series(dtype=np.float64),
-                              "rank": pd.Series(dtype=np.int32)})
         if not len(pdf):
-            return empty
+            return _empty_frame()
         qid = pdf["qid"].iloc[0]
         terms = qinfo.get(qid)
         if not terms:
-            return empty
-        by_term: dict[int, pd.DataFrame] = {
-            int(tid): grp.sort_values("block_id") for tid, grp in pdf.groupby("term_id")
-        }
-        # ub per term = qweight * max_score (exact max over its postings)
-        ubs = np.array([qw * ms for (_, qw, _, ms) in terms], dtype=np.float64)
-        can_prune = all(
-            np.log((num_docs - df_ + 0.5) / (df_ + 0.5)) > 0 for (_, _, df_, _) in terms
-        ) and not conjunctive
-        rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
-
-        acc_d = np.empty(0, dtype=np.int64)
-        acc_s = np.empty(0, dtype=np.float64)
-        nmatch_d = acc_d
-        nmatch_c = np.empty(0, dtype=np.int64)
-        theta = -np.inf
-        skipped_blocks = 0
-
-        for i, (tid, qw, df_, _ms) in enumerate(terms):
-            grp = by_term.get(int(tid))
-            if grp is None:
-                continue
-            seg_d, seg_s = [], []
-            for row in grp.itertuples():
-                if can_prune and acc_d.size >= k and theta > -np.inf:
-                    lo = np.searchsorted(acc_d, row.docid_first, "left")
-                    hi = np.searchsorted(acc_d, row.docid_last, "right")
-                    acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
-                    if qw * row.block_max_score + max(acc_max, 0.0) + rest_ub[i] < theta:
-                        skipped_blocks += 1
-                        continue
-                d, tf, dl = _decode_posting_arrays(row)
-                seg_d.append(d)
-                seg_s.append(qw * S.bm25_np(tf, dl, float(df_), num_docs, avg_doclen, k1, b))
-            if seg_d:
-                new_d = np.concatenate(seg_d)
-                new_s = np.concatenate(seg_s)
-                acc_d, acc_s = _merge_acc(acc_d, acc_s, new_d, new_s)
-                if conjunctive:
-                    nmatch_d, nmatch_c = _merge_acc(
-                        nmatch_d, nmatch_c.astype(np.float64), new_d,
-                        np.ones(new_d.size)
-                    )
-                    nmatch_c = nmatch_c.astype(np.int64)
-            if can_prune and acc_s.size >= k:
-                theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
-
-        if conjunctive and acc_d.size:
-            need = len(terms)
-            keep = nmatch_c >= need
-            acc_d, acc_s = acc_d[keep], acc_s[keep]
+            return _empty_frame()
+        by_term = {int(tid): grp.sort_values("block_id")
+                   for tid, grp in pdf.groupby("term_id")}
+        acc_d, acc_s = _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b,
+                                   conjunctive)
         if acc_d.size == 0:
-            return empty
-        kk = min(k, acc_d.size)
-        # top-k with (score DESC, docid ASC): lexsort on (-score, docid)
-        order = np.lexsort((acc_d, -acc_s))[:kk]
-        return pd.DataFrame({
-            "qid": qid,
-            "docid": acc_d[order],
-            "score": acc_s[order],
-            "rank": np.arange(kk, dtype=np.int32),
-        })
+            return _empty_frame()
+        return _topk_frame(qid, acc_d, acc_s, k)
+
+    return kernel
+
+
+def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
+                      k: int, k1: float, b: float, chunk_span: int,
+                      conjunctive: bool = False):
+    """Kernel for the docid-partitioned BATCH mode: each task holds one index
+    chunk's blocks (every block lies entirely inside one chunk by build
+    contract) and scores ALL queries against them.
+
+    Two batching wins over the naive per-query design:
+    - per-posting BM25 partials are query-INDEPENDENT: each term's blocks are
+      decoded + scored ONCE per task, as (local docid offset, partial) arrays;
+    - the chunk's docid range is bounded by chunk_span, so per-query
+      accumulation is direct fancy-indexing into a DENSE float accumulator
+      (TAAT with dense accumulators — the reference's ranked_or_taat, R9) —
+      no sort/unique per query.
+
+    Emits local top-k per (chunk, query); the global window keeps the true
+    top-k (exact: a doc in the global top-k is necessarily in its chunk's
+    local top-k)."""
+    tid_df = {}
+    for terms in qinfo.values():
+        for (tid, _qw, df_, _ms) in terms:
+            tid_df[int(tid)] = float(df_)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty_frame()
+        base = int(pdf["chunk"].iloc[0]) * chunk_span
+        # decode + score each term once -> (local offsets, partials)
+        term_arrays: dict[int, tuple] = {}
+        for tid, grp in pdf.groupby("term_id"):
+            tid = int(tid)
+            ds, ss = [], []
+            for row in grp.itertuples():
+                d, tf, dl = _decode_posting_arrays(row)
+                ds.append(d - base)
+                ss.append(S.bm25_np(tf, dl, tid_df[tid], num_docs, avg_doclen, k1, b))
+            term_arrays[tid] = (np.concatenate(ds), np.concatenate(ss))
+
+        acc = np.zeros(chunk_span, dtype=np.float64)
+        cnt = np.zeros(chunk_span, dtype=np.int32)
+        outs = []
+        for qid, terms in qinfo.items():
+            hit_tids = [(int(t[0]), t[1]) for t in terms if int(t[0]) in term_arrays]
+            if not hit_tids:
+                continue
+            if conjunctive and len(hit_tids) < len(terms):
+                continue  # some query term absent from this chunk entirely
+            for tid, qw in hit_tids:
+                idx, sc = term_arrays[tid]
+                acc[idx] += qw * sc  # docids unique per term -> safe direct add
+                cnt[idx] += 1
+            mask = cnt >= (len(terms) if conjunctive else 1)
+            loc = np.flatnonzero(mask)
+            if loc.size:
+                outs.append(_topk_frame(qid, base + loc, acc[loc].copy(), k))
+            touched = np.flatnonzero(cnt > 0)
+            acc[touched] = 0.0
+            cnt[touched] = 0
+        return pd.concat(outs, ignore_index=True) if outs else _empty_frame()
 
     return kernel
 
@@ -198,6 +274,70 @@ def retrieve_blockmax(
     out = results.join(index.docmap.select("docid", "docno"), "docid")
     # reference pins float32 result dtype (__init__.py:500-503); keep double
     # when the caller compares against a double-precision oracle
+    score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
+    if include_query:
+        qdf = spark.createDataFrame(queries, schema="qid string, query string")
+        out = out.join(F.broadcast(qdf), "qid")
+        return out.select("qid", "query", "docid", "docno", score_col, "rank")
+    return out.select("qid", "docid", "docno", score_col, "rank")
+
+
+def retrieve_blockmax_batch(
+    index,  # PersistedIndex
+    queries: list[tuple[str, str]],
+    k: int = DEFAULT_NUM_RESULTS,
+    stopwords="none",
+    conjunctive: bool = False,
+    include_query: bool = True,
+    cast_float32: bool = True,
+) -> DataFrame:
+    """Batch-throughput retrieval: partition the candidate blocks by index
+    CHUNK (docid range) and score the whole query batch inside each chunk
+    task, then keep the global top-k per query with a window.
+
+    vs ``retrieve_blockmax`` (per-query fan-out): candidate blocks are
+    shuffled ONCE for the whole batch instead of once per query — the right
+    plan when many queries share hot terms (batch analytics / evaluation
+    runs). Per-chunk conjunctive filtering stays exact because every posting
+    of docid d (any term) lives in chunk(d) by the build contract.
+    Results are rank- and score-identical to the exhaustive plan."""
+    from ..operators.retrieve import topk as _topk_plan
+
+    spark = index.docmap.sparkSession
+    meta = index.meta
+    k1, b = meta["scorer"]["k1"], meta["scorer"]["b"]
+    chunk_span = meta.get("chunk_span", 1 << 16)
+    stats = index.stats
+
+    qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
+                            stopwords=stopwords)
+    matched = (
+        qterms.join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
+        .select("qid", "term_id", "qweight", "df", "max_score")
+        .collect()
+    )
+    qinfo: dict[str, list] = {}
+    for r in matched:
+        qinfo.setdefault(r["qid"], []).append(
+            (int(r["term_id"]), float(r["qweight"]), float(r["df"]), float(r["max_score"]))
+        )
+    for qid in qinfo:
+        qinfo[qid].sort(key=lambda t: -t[3])
+    tids = sorted({t[0] for terms in qinfo.values() for t in terms})
+    if not tids:
+        return spark.createDataFrame(
+            [], schema="qid string, docid long, docno string, score float, rank int")
+
+    cand = index.blocks.filter(F.col("term_id").isin(tids)).withColumn(
+        "chunk", (F.col("docid_first") / F.lit(chunk_span)).cast("long")
+    )
+    kernel = make_batch_kernel(qinfo, stats["num_docs"], stats["avg_doclen"], k, k1, b,
+                               chunk_span, conjunctive=conjunctive)
+    local = cand.groupBy("chunk").applyInPandas(
+        kernel, schema="qid string, docid long, score double, rank int"
+    ).drop("rank")
+    top = _topk_plan(local, k)
+    out = top.join(index.docmap.select("docid", "docno"), "docid")
     score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
     if include_query:
         qdf = spark.createDataFrame(queries, schema="qid string, query string")

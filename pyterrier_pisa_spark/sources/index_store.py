@@ -17,21 +17,18 @@ checkpoint-resume boundary required by BASELINE.json's north_rule (mirrors
 the reference's batch-shard -> merge boundary, ``indexers.py:89-120`` +
 ``_pisathon.cpp:572-584``, where shards already written survive a restart):
 
-  1. tf       corpus -> termvec UDF -> (docid, term, tf, doclen) parquet
-              + docmap parquet.  The parquet write IS the shard checkpoint.
-  2. lexicon  tf -> (term, term_id, df, cf) + global stats.
+  1. fwd      corpus -> termvec UDF -> ONE forward table
+              (docid, docno, sha256, doclen, terms[], tfs[]).
+              The parquet write IS the shard checkpoint; tf/docmap are
+              column-pruned projections.
+  2. lexicon  tf -> (term, term_id, df, cf) + global stats (dense sorted
+              term ids, validated).
   3. postings the single posting-granularity shuffle:
-                tf ⋈ lexicon -> groupBy(term_id, chunk=docid//chunk_span)
-                -> chunk rows (bounded <= chunk_span postings: Zipf-hot terms
-                   spread across MANY chunk rows — the chunk key is a
-                   deterministic salt, so no skewed reducer exists)
-                -> per-term prefix-sum of chunk counts (tiny window over
-                   chunk-count rows, never over postings)
-                -> block-aligned segment split inside mapInPandas:
-                   full aligned 128-blocks pack LOCALLY (no further shuffle);
-                   only boundary partials (<= 2 per chunk) re-shuffle to merge
-              -> varint-packed block rows, range-partitioned by term_id
-                 (parquet min/max stats => term pruning at query time).
+              repartition(term_id, chunk=docid//chunk_span) — the chunk key
+              is a deterministic salt, so Zipf-hot terms spread across MANY
+              reducers — then a streaming kernel packs CHUNK-LOCAL
+              128-posting blocks (see ``_build_postings``), range-partitioned
+              by term_id on write (parquet min/max stats => term pruning).
   4. maxscore per-term max of block maxes -> term_stats (scorer-keyed like
               the reference's WAND-data cache, ``_pisathon.cpp:229-255``).
 
@@ -153,9 +150,21 @@ def build_index(
         fwd = _toks_fwd(prepared, scale) if pretokenized else _text_fwd(prepared, stemmer)
         fwd.write.mode("overwrite").parquet(os.path.join(path, "fwd"))
         fwd_r = spark.read.parquet(os.path.join(path, "fwd"))
-        agg = fwd_r.agg(F.count("*").alias("ndocs"),
-                        F.sum(F.size("terms")).alias("nterms")).collect()[0]
+        # one agg: stats + the hard gate on docid assignment (dense when we
+        # assigned, unique when the caller supplied an id column)
+        agg = fwd_r.agg(
+            F.count("*").alias("ndocs"),
+            F.countDistinct("docid").alias("nd"),
+            F.min("docid").alias("mn"), F.max("docid").alias("mx"),
+            F.sum(F.size("terms")).alias("nterms"),
+        ).collect()[0]
         ndocs, nposts = agg["ndocs"], int(agg["nterms"] or 0)
+        dense_ok = agg["nd"] == ndocs and (id_col is not None or
+                                           (agg["mn"] == 0 and agg["mx"] == ndocs - 1))
+        if ndocs and not dense_ok:
+            raise AssertionError(
+                f"docid assignment corrupted: n={ndocs} distinct={agg['nd']} "
+                f"min={agg['mn']} max={agg['mx']}")
         _append_metrics(spark, path, "tf", [("tf", -1, ndocs, nposts, 0, time.time())])
         _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts, "sec": time.time() - t0})
 
@@ -173,9 +182,9 @@ def build_index(
         lexicon = B.build_lexicon(tf, num_partitions)
         lexicon.write.mode("overwrite").parquet(os.path.join(path, "lexicon"))
         lex_r = spark.read.parquet(os.path.join(path, "lexicon"))
-        B.validate_dense_ids(lex_r, "term_id")
+        B.validate_dense_ids(lex_r, "term_id")  # agg doubles as the count
         stats = B.collection_stats(docmap)
-        stats["num_terms"] = lex_r.count()
+        stats["num_terms"] = lex_r.count()  # parquet metadata-only count
         _append_metrics(spark, path, "lexicon",
                         [("lexicon", -1, stats["num_docs"], stats["num_terms"], 0, time.time())])
         _commit_phase(path, "lexicon", {"stats": stats, "sec": time.time() - t1})
@@ -213,6 +222,7 @@ def build_index(
         "pretokenized": pretokenized,
         "scale": scale if pretokenized else None,
         "block_size": block_size,
+        "chunk_span": chunk_span,
         "scorer": {"name": "bm25", "k1": k1, "b": b},
         "stats": stats,
         "built_sec": time.time() - t0,
@@ -270,57 +280,52 @@ def _fwd_to_tf(fwd: DataFrame) -> DataFrame:
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
                     num_partitions) -> None:
     """The invert: ONE posting-granularity shuffle, then streaming vectorized
-    block packing.
+    block packing — with CHUNK-LOCAL blocks.
 
     Plan:
-      tf ⋈ lexicon(term->term_id,df)                [broadcast/AQE join]
-      counts  = groupBy(term_id, chunk).count()     [combiner agg: tiny rows]
-      starts  = prefix-sum window over counts       [per-term, counter rows]
-      runs    = repartition(term_id, chunk)         [THE shuffle; chunk =
-                .sortWithinPartitions(.., docid)     deterministic salt, so
-                                                     Zipf-hot terms spread]
-      runs ⋈ broadcast(starts)                      [map-side, order-kept]
-      mapInPandas streaming kernel: contiguous (term_id, chunk) groups are
-        cut into 128-aligned segments; ALL full segments of a batch pack in
-        a handful of numpy passes (reduceat maxima, segment varint); only
-        boundary partials (<=2/chunk) re-shuffle through a tiny agg.
+      tf ⋈ lexicon(term->term_id,df)            [broadcast/AQE join]
+      repartition(term_id, chunk)               [THE shuffle; chunk =
+        .sortWithinPartitions(.., docid)         docid//chunk_span is a
+                                                 deterministic salt -> Zipf-hot
+                                                 terms spread across reducers]
+      mapInPandas streaming kernel              [contiguous (term_id, chunk)
+                                                 groups -> 128-posting blocks]
 
-    No collect_list materialization, no per-posting Python, no per-block
-    Python: the kernel touches numpy arrays the size of an Arrow batch.
+    Blocks never span a chunk boundary (the last block of a term's chunk may
+    hold < block_size postings). That costs a few ragged blocks per hot term
+    but buys: (a) no global-position bookkeeping — no prefix-sum window, no
+    broadcast join, no cross-partition partial-block merge; (b) trivially
+    deterministic output under any parallelism; (c) every block lies entirely
+    inside one docid chunk, so a batch query mode can partition the index by
+    chunk and accumulate each docid's score exactly once per task
+    (``wand.retrieve_blockmax_batch``).
+
+    block_id = chunk * (chunk_span//block_size + 1) + seq-within-chunk —
+    strictly increasing with docid per term.
+
+    Kernel vectorization: all segments of an Arrow batch pack in a handful of
+    numpy passes (``reduceat`` maxima, segment varint encode); no per-posting
+    or per-block Python.
     """
     num_docs, avgdl = stats["num_docs"], stats["avg_doclen"]
     np_ = num_partitions or spark.sparkContext.defaultParallelism
+    blocks_per_chunk = chunk_span // block_size + 1
 
     tf2 = tf.join(lexicon.select("term", "term_id", "df"), "term").select(
         "term_id", "docid", "tf", "doclen", "df"
     ).withColumn("chunk", (F.col("docid") / F.lit(chunk_span)).cast("long"))
 
-    counts = tf2.groupBy("term_id", "chunk").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("term_id").orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
-    starts = counts.withColumn("start_pos", F.coalesce(F.sum("n").over(w), F.lit(0))).select(
-        "term_id", "chunk", "start_pos"
-    )
-
-    # broadcast is REQUIRED, not a hint-preference: a sort-merge join here
-    # would re-exchange the runs and break the kernel's contiguous-group
-    # contract. starts is one counter row per non-empty (term, chunk); for
-    # corpora where that outgrows broadcast, raise chunk_span.
-    runs = tf2.repartition(np_, "term_id", "chunk")
-    joined = runs.join(F.broadcast(starts), ["term_id", "chunk"]).sortWithinPartitions(
+    runs = tf2.repartition(np_, "term_id", "chunk").sortWithinPartitions(
         "term_id", "chunk", "docid"
-    ).select("term_id", "chunk", "start_pos", "docid", "tf", "doclen", "df")
-
-    _OUT_SCHEMA = (
-        POSTINGS_SCHEMA
-        + ", aligned_full boolean, df long, docids_arr array<long>, tfs_arr array<int>, "
-        "doclens_arr array<long>"
     )
 
-    def _pack_full_segments(tid, bid, dfs, seg_starts, seg_lengths, d, t, l):
-        """All full segments of one batch -> block rows, vectorized."""
-        idx = np.concatenate([np.arange(a, a + ln) for a, ln in zip(seg_starts, seg_lengths)])
-        sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
+    def _pack_segments(tid, bid, dfs, seg_starts, seg_lengths, d, t, l):
+        """A batch of segments (each <= block_size) -> block rows, vectorized."""
         out_starts = np.concatenate(([0], np.cumsum(seg_lengths)))[:-1]
+        idx = np.repeat(seg_starts - out_starts, seg_lengths) + np.arange(
+            int(seg_lengths.sum()), dtype=np.int64
+        )
+        sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
         df_rep = np.repeat(dfs.astype(np.float64), seg_lengths)
         idf = np.log((num_docs - df_rep + 0.5) / (df_rep + 0.5))
         scores = idf * (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
@@ -335,53 +340,24 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
             "docids_delta": varint_encode_segments(gaps.astype(np.uint64), out_starts),
             "tfs": varint_encode_segments(sel_t.astype(np.uint64), out_starts),
             "doclens": varint_encode_segments(sel_l.astype(np.uint64), out_starts),
-            "aligned_full": True, "df": dfs,
-            "docids_arr": None, "tfs_arr": None, "doclens_arr": None,
         })
 
-    def _process(term_id, chunk, start_pos, docid, tf_, doclen, df_):
-        """One or more COMPLETE contiguous groups -> (full_df, partial_rows)."""
+    def _process(term_id, chunk, docid, tf_, doclen, df_):
+        """Complete contiguous (term_id, chunk) groups -> block rows."""
         n = len(docid)
-        gpos = start_pos + _group_local_rank(term_id, chunk, n)
-        seg_mask = (gpos % block_size) == 0
         grp_change = np.empty(n, dtype=bool)
         grp_change[0] = True
-        np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1], out=grp_change[1:])
-        seg_mask |= grp_change
+        np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1],
+                      out=grp_change[1:])
+        idx = np.arange(n, dtype=np.int64)
+        grp_start_idx = idx[grp_change]
+        local_rank = idx - grp_start_idx[np.cumsum(grp_change) - 1]
+        seg_mask = (local_rank % block_size) == 0
         seg_starts = np.flatnonzero(seg_mask)
         seg_lengths = np.diff(seg_starts, append=n)
-        full = seg_lengths == block_size
-        fdf = None
-        if full.any():
-            fs, fl = seg_starts[full], seg_lengths[full]
-            fdf = _pack_full_segments(
-                term_id[fs], gpos[fs] // block_size, df_[fs], fs, fl, docid, tf_, doclen
-            )
-        partial_rows = None
-        if (~full).any():
-            ps, pl = seg_starts[~full], seg_lengths[~full]
-            partial_rows = pd.DataFrame({
-                "term_id": term_id[ps], "block_id": gpos[ps] // block_size,
-                "count": pl.astype(np.int32),
-                "docid_first": docid[ps], "docid_last": docid[ps + pl - 1],
-                "block_max_score": 0.0, "docids_delta": None, "tfs": None, "doclens": None,
-                "aligned_full": False, "df": df_[ps],
-                "docids_arr": [docid[a:a + ln] for a, ln in zip(ps, pl)],
-                "tfs_arr": [tf_[a:a + ln].astype(np.int32) for a, ln in zip(ps, pl)],
-                "doclens_arr": [doclen[a:a + ln] for a, ln in zip(ps, pl)],
-            })
-        return fdf, partial_rows
-
-    def _group_local_rank(term_id, chunk, n):
-        """0-based rank within each contiguous (term_id, chunk) group."""
-        if n == 0:
-            return np.empty(0, dtype=np.int64)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1], out=change[1:])
-        idx = np.arange(n, dtype=np.int64)
-        grp_start = idx[change]
-        return idx - grp_start[np.cumsum(change) - 1]
+        bid = chunk[seg_starts] * blocks_per_chunk + local_rank[seg_starts] // block_size
+        return _pack_segments(term_id[seg_starts], bid, df_[seg_starts],
+                              seg_starts, seg_lengths, docid, tf_, doclen)
 
     def _chunks_to_blocks(batches):
         carry = None
@@ -393,82 +369,30 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
                 continue
             tid = pdf["term_id"].to_numpy()
             chk = pdf["chunk"].to_numpy()
-            # hold back the (possibly incomplete) final group for the next batch
-            last_t, last_c = tid[-1], chk[-1]
-            tail_mask = (tid == last_t) & (chk == last_c)
+            tail_mask = (tid == tid[-1]) & (chk == chk[-1])
             if tail_mask.all():
-                carry = pdf
+                carry = pdf  # whole batch is one group: wait for its end
                 continue
             last_group_start = int(np.flatnonzero(~tail_mask)[-1]) + 1
             carry = pdf.iloc[last_group_start:]
             head = pdf.iloc[:last_group_start]
-            fdf, prow = _process(
+            yield _process(
                 head["term_id"].to_numpy(), head["chunk"].to_numpy(),
-                head["start_pos"].to_numpy(), head["docid"].to_numpy(),
-                head["tf"].to_numpy(np.int64), head["doclen"].to_numpy(),
-                head["df"].to_numpy(),
+                head["docid"].to_numpy(), head["tf"].to_numpy(np.int64),
+                head["doclen"].to_numpy(), head["df"].to_numpy(),
             )
-            if fdf is not None:
-                yield fdf
-            if prow is not None:
-                yield prow
         if carry is not None and len(carry):
-            fdf, prow = _process(
+            yield _process(
                 carry["term_id"].to_numpy(), carry["chunk"].to_numpy(),
-                carry["start_pos"].to_numpy(), carry["docid"].to_numpy(),
-                carry["tf"].to_numpy(np.int64), carry["doclen"].to_numpy(),
-                carry["df"].to_numpy(),
-            )
-            if fdf is not None:
-                yield fdf
-            if prow is not None:
-                yield prow
-
-    mixed = joined.mapInPandas(_chunks_to_blocks, schema=_OUT_SCHEMA).persist()
-
-    full_blocks = mixed.filter(F.col("aligned_full")).select(
-        "term_id", "block_id", "count", "docid_first", "docid_last",
-        "block_max_score", "docids_delta", "tfs", "doclens")
-
-    # boundary partials: <= 2 per (term, chunk); merge by (term_id, block_id)
-    def _pack_partials(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            seg_d = [np.asarray(x, dtype=np.int64) for x in pdf["docids_arr"]]
-            seg_t = [np.asarray(x, dtype=np.int64) for x in pdf["tfs_arr"]]
-            seg_l = [np.asarray(x, dtype=np.int64) for x in pdf["doclens_arr"]]
-            lengths = np.fromiter((len(x) for x in seg_d), dtype=np.int64, count=len(seg_d))
-            d = np.concatenate(seg_d) if seg_d else np.empty(0, dtype=np.int64)
-            t = np.concatenate(seg_t) if seg_t else np.empty(0, dtype=np.int64)
-            l = np.concatenate(seg_l) if seg_l else np.empty(0, dtype=np.int64)
-            starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
-            yield _pack_full_segments(
-                pdf["term_id"].to_numpy(), pdf["block_id"].to_numpy(),
-                pdf["df"].to_numpy(), starts, lengths, d, t, l,
+                carry["docid"].to_numpy(), carry["tf"].to_numpy(np.int64),
+                carry["doclen"].to_numpy(), carry["df"].to_numpy(),
             )
 
-    partial = (
-        mixed.filter(~F.col("aligned_full"))
-        .groupBy("term_id", "block_id")
-        .agg(
-            F.first("df").alias("df"),
-            F.flatten(F.sort_array(F.collect_list(F.struct(
-                F.element_at("docids_arr", 1).alias("d0"), "docids_arr", "tfs_arr", "doclens_arr")))["docids_arr"]).alias("docids_arr"),
-            F.flatten(F.sort_array(F.collect_list(F.struct(
-                F.element_at("docids_arr", 1).alias("d0"), "docids_arr", "tfs_arr", "doclens_arr")))["tfs_arr"]).alias("tfs_arr"),
-            F.flatten(F.sort_array(F.collect_list(F.struct(
-                F.element_at("docids_arr", 1).alias("d0"), "docids_arr", "tfs_arr", "doclens_arr")))["doclens_arr"]).alias("doclens_arr"),
-        )
+    out = runs.mapInPandas(_chunks_to_blocks, schema=POSTINGS_SCHEMA)
+    out = out.repartitionByRange(np_, "term_id", "block_id").sortWithinPartitions(
+        "term_id", "block_id"
     )
-    partial_blocks = partial.mapInPandas(_pack_partials, schema=_OUT_SCHEMA).select(
-        "term_id", "block_id", "count", "docid_first", "docid_last",
-        "block_max_score", "docids_delta", "tfs", "doclens")
-
-    out = full_blocks.unionByName(partial_blocks)
-    out = out.repartitionByRange(np_, "term_id", "block_id").sortWithinPartitions("term_id", "block_id")
     out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    mixed.unpersist()
 
 
 # ------------------------------------------------------------------ loading

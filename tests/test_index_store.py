@@ -45,26 +45,36 @@ def test_meta_and_phases(spark, index_path):
 
 
 def test_block_invariants(spark, index_path):
+    """Chunk-local block contract: within a (term, chunk) every block is full
+    except the last; block ids strictly increase with docid; all blocks lie
+    inside one chunk."""
     idx = load_index(spark, index_path)
     rows = idx.blocks.collect()
     assert rows
+    by_tc = {}
+    for r in rows:
+        chunk_first = r["docid_first"] // CHUNK
+        chunk_last = r["docid_last"] // CHUNK
+        assert chunk_first == chunk_last, "block spans a chunk boundary"
+        by_tc.setdefault((r["term_id"], chunk_first), []).append(r)
+        assert 1 <= r["count"] <= BLOCK
+        assert r["docid_first"] <= r["docid_last"]
+        assert np.isfinite(r["block_max_score"])
+    for (term_id, chunk), blocks in by_tc.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        for r in blocks[:-1]:
+            assert r["count"] == BLOCK, (term_id, chunk, r["block_id"], r["count"])
+        for a, b in zip(blocks, blocks[1:]):
+            assert a["docid_last"] < b["docid_first"]
+            assert a["block_id"] < b["block_id"]
+    # and globally per term: block_id order == docid order
     by_term = {}
     for r in rows:
         by_term.setdefault(r["term_id"], []).append(r)
     for term_id, blocks in by_term.items():
         blocks.sort(key=lambda r: r["block_id"])
-        # block ids dense from 0; every block full except possibly the last
-        assert [r["block_id"] for r in blocks] == list(range(len(blocks)))
-        for r in blocks[:-1]:
-            assert r["count"] == BLOCK, (term_id, r["block_id"], r["count"])
-        assert 1 <= blocks[-1]["count"] <= BLOCK
-        # docid ranges strictly increasing across blocks
         for a, b in zip(blocks, blocks[1:]):
             assert a["docid_last"] < b["docid_first"]
-        for r in blocks:
-            assert r["docid_first"] <= r["docid_last"]
-            assert r["block_max_score"] > 0 or r["block_max_score"] <= 0  # finite
-            assert np.isfinite(r["block_max_score"])
 
 
 def test_flat_tf_roundtrip_matches_logical(spark, index_path):

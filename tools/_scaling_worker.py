@@ -1,26 +1,4 @@
-"""Scaling-efficiency evidence (BASELINE.json north_rule: throughput scaling
-efficiency >= 0.8 going from N to 4N executors, build and query).
 
-No real cluster exists in this sandbox, so the same job runs at two
-parallelism levels — local[8] vs local[32] — on the SAME input; efficiency
-is (throughput_4N / throughput_N) / 4.
-
-Each measurement is steady-state: a warm-up build+query JITs the JVM and
-spawns the Arrow Python workers before the timed runs.
-
-Usage: python tools/scaling_bench.py [--docs 50000] [--queries 200]
-Prints one JSON line; also appended by hand to BASELINE.md §BENCH.
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
-import os
-import subprocess
-import sys
-
-WORKER = r"""
 import json, os, sys, tempfile, time
 cpus = int(sys.argv[1]); ndocs = int(sys.argv[2]); nq = int(sys.argv[3])
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -67,51 +45,3 @@ print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "ms_per_query": round(1000 * query_sec / nq, 2),
                   "result_rows": nres}))
 spark.stop()
-"""
-
-
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=50000)
-    ap.add_argument("--queries", type=int, default=200)
-    ap.add_argument("--levels", type=str, default="2,8")
-    args = ap.parse_args()
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    script = os.path.join(here, "_scaling_worker.py")
-    with open(script, "w") as fh:
-        fh.write(WORKER)
-
-    results = {}
-    for cpus in [int(x) for x in args.levels.split(",")]:
-        out = subprocess.run(
-            [sys.executable, script, str(cpus), str(args.docs), str(args.queries)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-        if not line:
-            print(f"FAILED at local[{cpus}]:", out.stderr[-2000:], file=sys.stderr)
-            raise SystemExit(1)
-        results[cpus] = json.loads(line[-1])
-
-    pairs = {}
-    lv = sorted(results)
-    for lo, hi in zip(lv, lv[1:]):
-        ratio = hi / lo
-        pairs[f"{lo}->{hi}"] = {
-            "parallelism_ratio": ratio,
-            "build_scaling_efficiency": round(
-                (results[hi]["build_docs_per_sec"] / results[lo]["build_docs_per_sec"]) / ratio, 3),
-            "query_scaling_efficiency": round(
-                (results[hi]["queries_per_sec"] / results[lo]["queries_per_sec"]) / ratio, 3),
-        }
-    print(json.dumps({
-        "metric": "scaling_efficiency",
-        "levels": results,
-        "pairs": pairs,
-        "target": 0.8,
-    }))
-
-
-if __name__ == "__main__":
-    main()
