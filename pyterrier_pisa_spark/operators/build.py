@@ -31,6 +31,19 @@ from pyspark.sql import types as T
 from ..functions.tokenizer import termvec_udf
 
 DEFAULT_K1 = 0.9
+
+# persisted intermediates from assign_dense_ids, released by release_caches()
+_PERSISTED: list = []
+
+
+def release_caches() -> None:
+    """Unpersist intermediates pinned by assign_dense_ids (call after the
+    consuming job has materialized its outputs)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session gone — nothing to release
+            pass
 DEFAULT_B = 0.4
 DEFAULT_BLOCK_SIZE = 128
 
@@ -86,6 +99,7 @@ def assign_dense_ids(
     # Callers that assign ids during an index build additionally run
     # validate_dense_ids as a hard corruption gate.
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(ranked)
     # Per-partition offsets as a second branch of the same cached plan; the
     # offsets window runs over ~num_partitions rows, never over data rows.
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))

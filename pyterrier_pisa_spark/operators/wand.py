@@ -180,38 +180,53 @@ def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return _empty_frame()
-        base = int(pdf["chunk"].iloc[0]) * chunk_span
-        # decode + score each term once -> (local offsets, partials)
-        term_arrays: dict[int, tuple] = {}
-        for tid, grp in pdf.groupby("term_id"):
-            tid = int(tid)
-            ds, ss = [], []
-            for row in grp.itertuples():
-                d, tf, dl = _decode_posting_arrays(row)
-                ds.append(d - base)
-                ss.append(S.bm25_np(tf, dl, tid_df[tid], num_docs, avg_doclen, k1, b))
-            term_arrays[tid] = (np.concatenate(ds), np.concatenate(ss))
-
         acc = np.zeros(chunk_span, dtype=np.float64)
         cnt = np.zeros(chunk_span, dtype=np.int32)
+        # per-query candidate accumulation ACROSS the task's chunks, so each
+        # query emits AT MOST k rows per task (not per chunk) — the local
+        # top-k merges over chunks before anything is shuffled
+        q_docids: dict = {qid: [] for qid in qinfo}
+        q_scores: dict = {qid: [] for qid in qinfo}
+        for chunk, cpdf in pdf.groupby("chunk"):
+            base = int(chunk) * chunk_span
+            # decode + score each term once -> (local offsets, partials)
+            term_arrays: dict[int, tuple] = {}
+            for tid, grp in cpdf.groupby("term_id"):
+                tid = int(tid)
+                ds, ss = [], []
+                for row in grp.itertuples():
+                    d, tf, dl = _decode_posting_arrays(row)
+                    ds.append(d - base)
+                    ss.append(S.bm25_np(tf, dl, tid_df[tid], num_docs, avg_doclen, k1, b))
+                term_arrays[tid] = (np.concatenate(ds), np.concatenate(ss))
+            for qid, terms in qinfo.items():
+                hit_tids = [(int(t[0]), t[1]) for t in terms if int(t[0]) in term_arrays]
+                if not hit_tids:
+                    continue
+                if conjunctive and len(hit_tids) < len(terms):
+                    continue  # some query term absent from this chunk entirely
+                for tid, qw in hit_tids:
+                    idx, sc = term_arrays[tid]
+                    acc[idx] += qw * sc  # docids unique per term -> direct add
+                    cnt[idx] += 1
+                mask = cnt >= (len(terms) if conjunctive else 1)
+                loc = np.flatnonzero(mask)
+                if loc.size:
+                    # keep only this chunk's top-k candidates per query
+                    if loc.size > k:
+                        part = np.argpartition(acc[loc], loc.size - k)[loc.size - k:]
+                        loc = loc[part]
+                    q_docids[qid].append(base + loc)
+                    q_scores[qid].append(acc[loc].copy())
+                touched = np.flatnonzero(cnt > 0)
+                acc[touched] = 0.0
+                cnt[touched] = 0
         outs = []
-        for qid, terms in qinfo.items():
-            hit_tids = [(int(t[0]), t[1]) for t in terms if int(t[0]) in term_arrays]
-            if not hit_tids:
-                continue
-            if conjunctive and len(hit_tids) < len(terms):
-                continue  # some query term absent from this chunk entirely
-            for tid, qw in hit_tids:
-                idx, sc = term_arrays[tid]
-                acc[idx] += qw * sc  # docids unique per term -> safe direct add
-                cnt[idx] += 1
-            mask = cnt >= (len(terms) if conjunctive else 1)
-            loc = np.flatnonzero(mask)
-            if loc.size:
-                outs.append(_topk_frame(qid, base + loc, acc[loc].copy(), k))
-            touched = np.flatnonzero(cnt > 0)
-            acc[touched] = 0.0
-            cnt[touched] = 0
+        for qid in qinfo:
+            if q_docids[qid]:
+                d = np.concatenate(q_docids[qid])
+                sc = np.concatenate(q_scores[qid])
+                outs.append(_topk_frame(qid, d, sc, k))
         return pd.concat(outs, ignore_index=True) if outs else _empty_frame()
 
     return kernel
@@ -331,9 +346,15 @@ def retrieve_blockmax_batch(
     cand = index.blocks.filter(F.col("term_id").isin(tids)).withColumn(
         "chunk", (F.col("docid_first") / F.lit(chunk_span)).cast("long")
     )
+    # hash chunks into ~2x-parallelism task groups: each query emits <= k
+    # rows per GROUP (the kernel merges its chunks' top-ks locally), so the
+    # final window sees O(groups * queries * k) rows — independent of how
+    # many chunks the corpus spans
+    n_groups = max(2 * spark.sparkContext.defaultParallelism, 8)
+    cand = cand.withColumn("task_group", F.pmod(F.col("chunk"), F.lit(n_groups)))
     kernel = make_batch_kernel(qinfo, stats["num_docs"], stats["avg_doclen"], k, k1, b,
                                chunk_span, conjunctive=conjunctive)
-    local = cand.groupBy("chunk").applyInPandas(
+    local = cand.groupBy("task_group").applyInPandas(
         kernel, schema="qid string, docid long, score double, rank int"
     ).drop("rank")
     top = _topk_plan(local, k)

@@ -229,6 +229,7 @@ def build_index(
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=1)
+    B.release_caches()
     return meta
 
 

@@ -75,6 +75,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--queries", type=int, default=200)
     ap.add_argument("--levels", type=str, default="2,8")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="interleaved repeats per level; best throughput wins "
+                         "(controls host noise)")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -82,17 +85,28 @@ def main() -> None:
     with open(script, "w") as fh:
         fh.write(WORKER)
 
+    levels = [int(x) for x in args.levels.split(",")]
     results = {}
-    for cpus in [int(x) for x in args.levels.split(",")]:
-        out = subprocess.run(
-            [sys.executable, script, str(cpus), str(args.docs), str(args.queries)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-        if not line:
-            print(f"FAILED at local[{cpus}]:", out.stderr[-2000:], file=sys.stderr)
-            raise SystemExit(1)
-        results[cpus] = json.loads(line[-1])
+    for rep in range(args.repeats):
+        for cpus in levels:  # interleaved: host drift hits all levels equally
+            out = subprocess.run(
+                [sys.executable, script, str(cpus), str(args.docs), str(args.queries)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+            if not line:
+                print(f"FAILED at local[{cpus}]:", out.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(1)
+            r = json.loads(line[-1])
+            prev = results.get(cpus)
+            if prev is None:
+                results[cpus] = r
+            else:  # best-of-N per metric (noise control)
+                prev["build_sec"] = min(prev["build_sec"], r["build_sec"])
+                prev["build_docs_per_sec"] = max(prev["build_docs_per_sec"], r["build_docs_per_sec"])
+                prev["query_sec"] = min(prev["query_sec"], r["query_sec"])
+                prev["queries_per_sec"] = max(prev["queries_per_sec"], r["queries_per_sec"])
+                prev["ms_per_query"] = min(prev["ms_per_query"], r["ms_per_query"])
 
     pairs = {}
     lv = sorted(results)
