@@ -346,11 +346,13 @@ def retrieve_blockmax_batch(
     cand = index.blocks.filter(F.col("term_id").isin(tids)).withColumn(
         "chunk", (F.col("docid_first") / F.lit(chunk_span)).cast("long")
     )
-    # hash chunks into ~2x-parallelism task groups: each query emits <= k
+    # hash chunks into a FIXED number of task groups: each query emits <= k
     # rows per GROUP (the kernel merges its chunks' top-ks locally), so the
-    # final window sees O(groups * queries * k) rows — independent of how
-    # many chunks the corpus spans
-    n_groups = max(2 * spark.sparkContext.defaultParallelism, 8)
+    # final window sees O(n_groups * queries * k) rows — independent of how
+    # many chunks the corpus spans AND of the cluster size (a core count
+    # -dependent group count would change the work itself between cluster
+    # sizes, breaking scaling comparability)
+    n_groups = int(meta.get("batch_groups", 32))
     cand = cand.withColumn("task_group", F.pmod(F.col("chunk"), F.lit(n_groups)))
     kernel = make_batch_kernel(qinfo, stats["num_docs"], stats["avg_doclen"], k, k1, b,
                                chunk_span, conjunctive=conjunctive)

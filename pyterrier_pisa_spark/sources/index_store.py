@@ -144,7 +144,12 @@ def build_index(
     # explode is pure JVM; docmap never touches the terms columns), which is
     # also the reference's fwd artifact (S5 ``get_corpus_iter``,
     # ``__init__.py:371-390``) for free.
+    np_ = num_partitions or spark.sparkContext.defaultParallelism
     if not _phase_done(path, "tf"):
+        # small inputs arrive in few parquet splits (maxPartitionBytes); the
+        # tokenize UDF stage must span the full parallelism regardless
+        if corpus.rdd.getNumPartitions() < np_:
+            corpus = corpus.repartition(np_)
         prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col,
                                   num_partitions=num_partitions)
         fwd = _toks_fwd(prepared, scale) if pretokenized else _text_fwd(prepared, stemmer)
@@ -170,6 +175,10 @@ def build_index(
 
     if os.path.exists(os.path.join(path, "fwd")):
         fwd = spark.read.parquet(os.path.join(path, "fwd"))
+        if fwd.rdd.getNumPartitions() < np_:
+            # the explode/join map side of the invert must not be throttled
+            # by a handful of parquet splits
+            fwd = fwd.repartition(np_)
         tf = _fwd_to_tf(fwd)
         docmap = fwd.select("docid", "docno", "doclen", "content_sha256")
     else:  # streaming ingest writes flat tf + docmap shards instead of fwd
