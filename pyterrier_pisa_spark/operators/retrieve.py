@@ -71,7 +71,9 @@ def attach_scores(
     """(qid, term, qweight) ⋈ lexicon ⋈ tf -> per-posting partial scores.
     OOV terms drop via the inner lexicon join (reference termlex-miss drop,
     ``_pisathon.cpp:498-505``)."""
-    q = F.broadcast(qterms.join(lexicon.select("term", "term_id", "df", "cf"), "term"))
+    # qterms is tiny: force broadcast on BOTH joins (without the inner hint
+    # the pre-AQE plan degrades to a sort-merge join of lexicon)
+    q = F.broadcast(F.broadcast(qterms).join(lexicon.select("term", "term_id", "df", "cf"), "term"))
     j = q.join(tf, "term")
     tf_c, dl_c = F.col("tf").cast("double"), F.col("doclen").cast("double")
     n, avgdl, total = stats["num_docs"], stats["avg_doclen"], stats["total_doclen"]
@@ -113,9 +115,14 @@ def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
     ``_pisathon.cpp:512-528``). Spark compiles the row_number filter into
     WindowGroupLimit, so only k rows per qid survive the window shuffle."""
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("docid").asc())
+    # filter on the RAW row_number (not the derived 0-based rank): that is the
+    # exact pattern Spark's WindowGroupLimit rewrite matches, which caps each
+    # partition to k rows BEFORE the window shuffle
     return (
-        scores.withColumn("rank", F.row_number().over(w) - F.lit(1))
-        .filter(F.col("rank") < k)
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumn("rank", (F.col("_rn") - 1).cast("int"))
+        .drop("_rn")
     )
 
 

@@ -253,7 +253,8 @@ def retrieve_blockmax(
     qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
                             stopwords=stopwords)
     matched = (
-        qterms.join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
+        F.broadcast(qterms)
+        .join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
         .select("qid", "term_id", "qweight", "df", "max_score")
         .collect()
     )
@@ -327,7 +328,8 @@ def retrieve_blockmax_batch(
     qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
                             stopwords=stopwords)
     matched = (
-        qterms.join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
+        F.broadcast(qterms)
+        .join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
         .select("qid", "term_id", "qweight", "df", "max_score")
         .collect()
     )
