@@ -212,10 +212,13 @@ def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
                 mask = cnt >= (len(terms) if conjunctive else 1)
                 loc = np.flatnonzero(mask)
                 if loc.size:
-                    # keep only this chunk's top-k candidates per query
+                    # keep only this chunk's top-k candidates per query —
+                    # TIE-AWARE (score desc, docid asc): a score-only
+                    # argpartition could drop the tie-preferred lower docid
+                    # at the k boundary and break global rank identity
                     if loc.size > k:
-                        part = np.argpartition(acc[loc], loc.size - k)[loc.size - k:]
-                        loc = loc[part]
+                        order = np.lexsort((loc, -acc[loc]))[:k]
+                        loc = loc[order]
                     q_docids[qid].append(base + loc)
                     q_scores[qid].append(acc[loc].copy())
                 touched = np.flatnonzero(cnt > 0)
