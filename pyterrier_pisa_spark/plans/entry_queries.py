@@ -223,6 +223,32 @@ def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_bm25_topk_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time stopword filtering (reference T7: stopwords indexed but
+    dropped from queries, ``_pisathon.cpp:501``) — lucene list."""
+    idx = _index(spark, sf_dir)
+    qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="lucene")
+    scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer="bm25")
+    top = R.topk(R.ranked_or(scored), TOPK_K)
+    return top.select("qid", F.col("docid").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation over the events table — the
+    batch twin of streaming_term_counts (same F.window operator Structured
+    Streaming uses with a watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", F.col("n").cast("long").alias("n"), "sum_value",
+    )
+
+
 def q_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretokenized quantized dot-product retrieval (reference quantized
     scorer / toks path): doc impacts = tf (scale=1), integer query weights."""
@@ -373,6 +399,32 @@ ORACLES["qld_topk"] = _scored_topk_sql(
 )
 
 
+from ..functions.stopwords import LUCENE as _LUCENE
+
+_SQL_QUERY_TERMS_STOP = (
+    "qterms(qid, term, qweight) AS (VALUES "
+    + ", ".join(
+        "('%s', '%s', %d.0)" % (qid, t, sum(1 for x in q.split() if x == t))
+        for qid, q in QUERIES
+        for t in sorted(set(q.split()) - _LUCENE)
+    )
+    + ")"
+)
+
+ORACLES["bm25_topk_stop"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS_STOP}, {_SQL_BM25_SCORED}
+SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {TOPK_K}"""
+
+ORACLES["events_windowed"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 IR_QUERIES = {
     "term_freq": q_term_freq,
     "doclen": q_doclen,
@@ -387,4 +439,6 @@ IR_QUERIES = {
     "pl2_topk": q_pl2_topk,
     "qld_topk": q_qld_topk,
     "quantized_dot": q_quantized_dot,
+    "bm25_topk_stop": q_bm25_topk_stop,
+    "events_windowed": q_events_windowed,
 }
