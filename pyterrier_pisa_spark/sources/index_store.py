@@ -436,6 +436,16 @@ class PersistedIndex:
             _decode, schema="term_id long, docid long, tf long, doclen long"
         )
 
+    def num_docs(self) -> int:
+        return int(self.stats["num_docs"])
+
+    def num_terms(self) -> int:
+        nt = self.stats.get("num_terms")
+        return int(nt) if nt is not None else self.lexicon.count()
+
+    def __len__(self) -> int:
+        return self.num_docs()
+
     def as_logical(self) -> LogicalIndex:
         tf = self.flat_tf().join(self.lexicon.select("term_id", "term"), "term_id").select(
             "docid", "term", F.col("tf").cast("int").alias("tf"), "doclen"

@@ -1,0 +1,78 @@
+"""CIFF roundtrip (reference ``tests/test_ciff.py:8-17``: results frame-equal
+before/after export->import). Also pins the wire-format primitives."""
+
+import numpy as np
+import pytest
+
+from pyterrier_pisa_spark.sources.ciff import (
+    CiffHeader,
+    decode_doc_record,
+    decode_postings_list,
+    encode_doc_record,
+    encode_postings_list,
+    export_ciff,
+    import_ciff,
+)
+
+
+def test_wire_header_roundtrip():
+    h = CiffHeader(version=1, num_postings_lists=42, num_docs=7, total_postings_lists=42,
+                   total_docs=7, total_terms_in_collection=1234,
+                   average_doclength=17.25, description="unit test")
+    h2 = CiffHeader.decode(h.encode())
+    assert h2 == h
+
+
+def test_wire_postings_roundtrip():
+    msg = encode_postings_list("spark", 3, 9, [2, 10, 11], [4, 1, 4])
+    term, df, cf, docids, tfs = decode_postings_list(msg)
+    assert (term, df, cf) == ("spark", 3, 9)
+    assert docids == [2, 10, 11]  # gaps 2,8,1 decoded back
+    assert tfs == [4, 1, 4]
+
+
+def test_wire_docrecord_roundtrip():
+    docid, docno, dl = decode_doc_record(encode_doc_record(5, "org1/a.py@deadbeef", 120))
+    assert (docid, docno, dl) == (5, "org1/a.py@deadbeef", 120)
+
+
+def test_ciff_index_roundtrip(spark, tmp_path):
+    from pyterrier_pisa_spark.operators.wand import retrieve_blockmax
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+
+    src_path = str(tmp_path / "src_idx")
+    corpus = synth_code_corpus(spark, num_docs=200, seed=5)
+    build_index(corpus, src_path, stemmer="porter2", block_size=32, mode="overwrite")
+    idx = load_index(spark, src_path)
+
+    ciff_file = str(tmp_path / "index.ciff")
+    info = export_ciff(idx, ciff_file)
+    assert info["num_docs"] == 200
+    assert info["postings_lists"] == idx.num_terms()
+
+    imp_path = str(tmp_path / "imported_idx")
+    meta = import_ciff(spark, ciff_file, imp_path, stemmer="none", block_size=32)
+    idx2 = load_index(spark, imp_path)
+    assert meta["stats"]["num_docs"] == 200
+
+    # lexicon identical (term, df, cf and dense sorted ids)
+    a = idx.lexicon.select("term", "term_id", "df", "cf").toPandas().sort_values("term_id").reset_index(drop=True)
+    b = idx2.lexicon.select("term", "term_id", "df", "cf").toPandas().sort_values("term_id").reset_index(drop=True)
+    assert a.equals(b)
+    # postings identical after decode
+    fa = idx.flat_tf().toPandas().sort_values(["term_id", "docid"]).reset_index(drop=True)
+    fb = idx2.flat_tf().toPandas().sort_values(["term_id", "docid"]).reset_index(drop=True)
+    assert fa.equals(fb)
+
+    # retrieval frame-equal (the reference's roundtrip assertion). The
+    # imported index is stemmer='none' (its terms arrive already stemmed),
+    # so use porter2-invariant query words to keep both parses identical.
+    queries = [("c1", "index shard"), ("c2", "def return")]
+    r1 = retrieve_blockmax(idx, queries, k=15, include_query=False).toPandas()
+    r2 = retrieve_blockmax(idx2, queries, k=15, include_query=False).toPandas()
+    r1 = r1.sort_values(["qid", "rank"]).reset_index(drop=True)
+    r2 = r2.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert r1["docid"].tolist() == r2["docid"].tolist()
+    assert r1["docno"].tolist() == r2["docno"].tolist()
+    np.testing.assert_allclose(r1["score"], r2["score"], rtol=1e-6)
