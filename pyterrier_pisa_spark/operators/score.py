@@ -9,9 +9,15 @@ bm25 (k1=0.9, b=0.4 defaults), dph, pl2 (c=1), qld (mu=1000), quantized
 BM25 formula (paper-derived; see SURVEY.md §2.4 R4 `[paper]` note — the PISA
 submodule is not vendored, so the formula is pinned by the published BM25/DFR
 literature and validated against our own frozen goldens):
-    idf = ln((N - df + 0.5) / (df + 0.5))
+    idf = max(1e-6, ln((N - df + 0.5) / (df + 0.5)))
     w(tf, dl) = idf * (k1 + 1) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
-"""
+
+The idf clamp matches PISA's ``bm25::query_term_weight`` epsilon (public
+PISA ``include/pisa/scorer/bm25.hpp``: ``std::max(epsilon_score, idf)`` with
+epsilon 1e-6): a term with df > N/2 contributes ~0, never negative. Besides
+rank parity with the reference, the clamp keeps every BM25 partial strictly
+positive, so the max-score/block-max pruning bounds are valid for EVERY
+query (no negative-idf fallback to exhaustive scoring)."""
 
 from __future__ import annotations
 
@@ -22,13 +28,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 LOG2E = math.log2(math.e)
+IDF_EPS = 1e-6  # PISA bm25.hpp epsilon_score
 
 
 # ---------------------------------------------------------------- Column path
 
 def bm25_col(tf: Column, doclen: Column, df: Column, num_docs: int, avg_doclen: float,
              k1: float = 0.9, b: float = 0.4) -> Column:
-    idf = F.log((F.lit(float(num_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    idf = F.greatest(
+        F.lit(IDF_EPS),
+        F.log((F.lit(float(num_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5))),
+    )
     norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doclen / F.lit(avg_doclen))
     return idf * F.lit(k1 + 1.0) * tf / norm
 
@@ -73,7 +83,7 @@ def quantized_col(impact: Column, query_weight: Column) -> Column:
 
 def bm25_np(tf: np.ndarray, doclen: np.ndarray, df_: float, num_docs: int,
              avg_doclen: float, k1: float = 0.9, b: float = 0.4) -> np.ndarray:
-    idf = math.log((num_docs - df_ + 0.5) / (df_ + 0.5))
+    idf = max(IDF_EPS, math.log((num_docs - df_ + 0.5) / (df_ + 0.5)))
     return idf * (k1 + 1.0) * tf / (tf + k1 * (1.0 - b + b * doclen / avg_doclen))
 
 
@@ -81,8 +91,8 @@ def bm25_max_score(df_: float, num_docs: int, k1: float = 0.9, b: float = 0.4) -
     """Upper bound of the per-posting BM25 partial as tf -> inf, dl -> 0:
     idf * (k1 + 1). Used as a cheap scalar bound; the stored per-term
     max_score (exact max over postings) is tighter and preferred."""
-    idf = math.log((num_docs - df_ + 0.5) / (df_ + 0.5))
-    return max(idf, 0.0) * (k1 + 1.0)
+    idf = max(IDF_EPS, math.log((num_docs - df_ + 0.5) / (df_ + 0.5)))
+    return idf * (k1 + 1.0)
 
 
 def qld_np(tf, doclen, cf_, total_doclen, mu=1000.0):

@@ -20,10 +20,10 @@ terms' posting blocks. Spark shape:
     -> per-query top-k + (score DESC, docid ASC) tie-break + 0-based rank
        computed in-kernel -> docno join JVM-side.
 
-Pruning is automatically disabled for queries containing a negative-idf term
-(df > N/2): score monotonicity — the precondition of every max-score bound —
-does not hold there, so the kernel silently degrades to exhaustive TAAT for
-that query (still exact, just no skipping).
+BM25 idf is clamped to +1e-6 (PISA's ``bm25.hpp`` epsilon), so every partial
+score is strictly positive, monotonicity holds for every query, and the
+max-score bounds are always valid — pruning engages even for queries that
+contain very common (df > N/2) terms.
 """
 
 from __future__ import annotations
@@ -65,9 +65,10 @@ def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
     DataFrames -> (docids, scores) exact top-k candidates (unsorted beyond
     the guarantee that only docs outside any possible top-k were skipped)."""
     ubs = np.array([qw * ms for (_, qw, _, ms) in terms], dtype=np.float64)
-    can_prune = all(
-        np.log((num_docs - df_ + 0.5) / (df_ + 0.5)) > 0 for (_, _, df_, _) in terms
-    ) and not conjunctive
+    # BM25 idf is clamped to +1e-6 (score.IDF_EPS, matching PISA's epsilon),
+    # so every partial is strictly positive and the max-score bounds are valid
+    # for every query — pruning only yields to conjunctive semantics
+    can_prune = not conjunctive
     rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
 
     acc_d = np.empty(0, dtype=np.int64)

@@ -307,7 +307,7 @@ scored AS (
     SELECT q.qid, t.doc_id,
            sum(
              q.qweight
-             * ln((s.num_docs - l.df + 0.5) / (l.df + 0.5))
+             * greatest(1.0e-6, ln((s.num_docs - l.df + 0.5) / (l.df + 0.5)))
              * 1.9 * t.tf
              / (t.tf + 0.9 * (1 - 0.4 + 0.4 * d.doclen / s.avg_doclen))
            ) AS score,

@@ -337,7 +337,7 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
         )
         sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
         df_rep = np.repeat(dfs.astype(np.float64), seg_lengths)
-        idf = np.log((num_docs - df_rep + 0.5) / (df_rep + 0.5))
+        idf = np.maximum(S.IDF_EPS, np.log((num_docs - df_rep + 0.5) / (df_rep + 0.5)))
         scores = idf * (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
         bmax = np.maximum.reduceat(scores, out_starts)
         ends = out_starts + seg_lengths - 1

@@ -19,7 +19,8 @@ DOCS = [
 
 
 def bm25_hand(tf, dl, df, n, avgdl, k1=0.9, b=0.4):
-    idf = math.log((n - df + 0.5) / (df + 0.5))
+    # idf clamped to PISA's epsilon (bm25.hpp query_term_weight)
+    idf = max(1e-6, math.log((n - df + 0.5) / (df + 0.5)))
     return idf * (k1 + 1) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
 
 
