@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.stopwords import get_stopwords
+from ..functions.stopwords import DEFAULT_STOPWORDS, get_stopwords
 from ..functions.tokenizer import tokenize_queries
 from . import score as S
 
@@ -32,7 +32,7 @@ def query_terms_df(
     spark: SparkSession,
     queries: list[tuple[str, str]],
     stemmer: str = "porter2",
-    stopwords="none",
+    stopwords=DEFAULT_STOPWORDS,
 ) -> DataFrame:
     """Parse raw queries driver-side (queries are tiny by contract) into a
     (qid, term, qweight) DataFrame to broadcast. Stopword + OOV drop follow
@@ -111,10 +111,18 @@ def ranked_and(scored: DataFrame, qterms_with_counts: DataFrame) -> DataFrame:
 
 
 def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
-    """Stable top-k: (score DESC, docid ASC), 0-based rank (reference
+    """Stable top-k: (float32(score) DESC, docid ASC), 0-based rank (reference
     ``_pisathon.cpp:512-528``). Spark compiles the row_number filter into
-    WindowGroupLimit, so only k rows per qid survive the window shuffle."""
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("docid").asc())
+    WindowGroupLimit, so only k rows per qid survive the window shuffle.
+
+    Ranking is at FLOAT32 granularity (the reference's score dtype,
+    ``__init__.py:500-503``): per-doc sums whose exact values tie differ by
+    summation ORDER across engines (Spark agg vs numpy kernel vs the DuckDB
+    oracle) in the last double ulp; casting to float32 before the comparison
+    collapses that noise so the docid tie-break decides identically
+    everywhere."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").cast("float").desc(), F.col("docid").asc())
     # filter on the RAW row_number (not the derived 0-based rank): that is the
     # exact pattern Spark's WindowGroupLimit rewrite matches, which caps each
     # partition to k rows BEFORE the window shuffle

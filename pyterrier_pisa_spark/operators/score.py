@@ -117,3 +117,46 @@ def dph_np(tf, doclen, cf_, num_docs, avg_doclen):
 
 
 SCORERS = ("bm25", "dph", "pl2", "qld", "quantized")
+
+
+# ------------------------------------------------- scorer registry (kernels)
+
+def term_stat_col(scorer: str) -> str:
+    """Which per-term lexicon statistic the scorer's partial needs: bm25 uses
+    df; the DFR/LM scorers use cf; quantized needs none (df as placeholder)."""
+    return "df" if scorer in ("bm25", "quantized") else "cf"
+
+
+def np_partial_fn(scorer: str, stats: dict, k1: float = 0.9, b: float = 0.4,
+                  mu: float = 1000.0, c: float = 1.0):
+    """Vectorized per-posting partial scorer ``f(tf, doclen, term_stat) ->
+    partials`` for the pruned/batch kernels — the SAME arithmetic as the
+    Column path (``attach_scores``), per the reference contract that every
+    scorer runs under every retrieval algorithm (``tests/test_variants.py:
+    7-28``, scorer wiring ``_pisathon.cpp:222-240``)."""
+    n, avgdl, total = stats["num_docs"], stats["avg_doclen"], stats.get("total_doclen")
+    if scorer == "bm25":
+        return lambda tf, dl, st: bm25_np(tf, dl, st, n, avgdl, k1, b)
+    if scorer == "qld":
+        return lambda tf, dl, st: qld_np(tf, dl, st, total, mu)
+    if scorer == "pl2":
+        return lambda tf, dl, st: pl2_np(tf, dl, st, n, avgdl, c)
+    if scorer == "dph":
+        return lambda tf, dl, st: dph_np(tf, dl, st, n, avgdl)
+    if scorer == "quantized":
+        return lambda tf, dl, st: tf  # impact; query weight applied by caller
+    raise ValueError(f"unknown scorer {scorer!r}")
+
+
+def scorer_cache_key(scorer: str, k1: float = 0.9, b: float = 0.4,
+                     mu: float = 1000.0, c: float = 1.0) -> str:
+    """Filesystem-safe cache key for scorer-derived index artifacts
+    (term max-scores), mirroring the reference's per-(scorer, params) WAND
+    data files (``_pisathon.cpp:229-255`` quantized/bmw cache keys)."""
+    if scorer == "bm25":
+        return f"bm25_k1_{k1}_b_{b}".replace(".", "p")
+    if scorer == "qld":
+        return f"qld_mu_{mu}".replace(".", "p")
+    if scorer == "pl2":
+        return f"pl2_c_{c}".replace(".", "p")
+    return scorer

@@ -1,29 +1,45 @@
-"""Block-max pruned retrieval kernel (reference R7/R8: ``wand``,
-``block_max_wand``, ``maxscore``, ``_pisathon.cpp:296-354``) re-designed for
-Spark's execution model.
+"""Block-max / max-score pruned retrieval kernels (reference R7/R8/R9:
+``wand``, ``block_max_wand``, ``maxscore``, ``ranked_or_taat``,
+``_pisathon.cpp:296-354``) re-designed for Spark's execution model.
 
-Parallelism model = the reference's own (R15, ``_pisathon.cpp:442-545``):
-queries fan out across workers, each query is scored by ONE task over its
-terms' posting blocks. Spark shape:
+Every scorer (bm25/dph/pl2/qld/quantized) runs under every kernel — the
+reference's variants matrix contract (``tests/test_variants.py:7-28``).
+Scoring arithmetic comes from one registry (``score.np_partial_fn``), the
+same formulas as the exhaustive Column plan, so pruned results are rank- AND
+score-identical to the exhaustive oracle.
 
-    broadcast(query-term table: term_id, qweight, df, max_score)
-    blocks semi-joined to query terms     [parquet term_id range pruning]
-    -> repartition by qid -> applyInPandas kernel per query:
-         terms processed in descending max_score order (TAAT over numpy
-         decoded blocks), threshold θ = current kth-best accumulated score,
-         block skipped iff
-             qweight*block_max + max(acc_max_in_block_range, 0) + rest_ub < θ
-         (exact-score-preserving: a skipped block provably contains no doc
-         that can reach the final top-k, so result docIDs AND scores equal
-         the exhaustive plan — the contract pinned by the reference's
-         variants matrix, ``tests/test_variants.py:7-28``)
-    -> per-query top-k + (score DESC, docid ASC) tie-break + 0-based rank
-       computed in-kernel -> docno join JVM-side.
+Two kernels, both operating on the packed 128-posting block table:
 
-BM25 idf is clamped to +1e-6 (PISA's ``bm25.hpp`` epsilon), so every partial
-score is strictly positive, monotonicity holds for every query, and the
-max-score bounds are always valid — pruning engages even for queries that
-contain very common (df > N/2) terms.
+PER-QUERY (``retrieve_blockmax``) — the reference's own parallelism model
+(R15, ``_pisathon.cpp:442-545``): candidate blocks are partitioned by
+(qid, task_group) — task_group hashes the block's docid chunk — so ONE
+query's postings spread over MANY tasks (no hot-query OOM: a web-scale term's
+posting list never lands in a single pandas partition). Each task runs
+threshold-pruned TAAT over its block subset and emits a local top-k; a
+window keeps the global top-k (exact: every global top-k doc survives its
+task's local top-k).
+
+    Pruning inside a task: terms in descending max_score order, threshold
+    θ = kth-best accumulated score, block skipped iff
+        qw*block_bound + max(acc_max_in_block_range, 0) + rest_ub < θ
+    where block_bound is the STORED per-block max when the index was built
+    for this (scorer, params) — true block-max WAND — else the term-level
+    max_score (max-score algorithm). rest_ub clamps per-term bounds at 0, so
+    the bound stays valid for scorers with negative partials (qld/pl2/dph).
+
+BATCH (``retrieve_blockmax_batch``) — throughput mode: blocks partitioned by
+docid chunk group, each task scores ALL queries against its chunks with a
+DENSE accumulator (TAAT, R9): each term's blocks are decoded + scored ONCE
+per task (partials are query-independent), then per-query accumulation is
+fancy-indexing. Blocks shuffle ONCE for the whole batch.
+
+``batch_groups`` (the task-group count both modes key on) is derived from
+index size at BUILD time and recorded in meta — work stays invariant across
+cluster sizes (scaling comparability) while parallelism grows with data.
+
+Term max-scores per (scorer, params) come from the index's scorer-keyed
+cache (``index_store.ensure_term_stats``), mirroring the reference's WAND
+data files (``_pisathon.cpp:229-255``).
 """
 
 from __future__ import annotations
@@ -33,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.stopwords import DEFAULT_STOPWORDS
 from . import score as S
 from .codec import varint_decode
 from .retrieve import DEFAULT_NUM_RESULTS, query_terms_df
@@ -60,14 +77,19 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
     return uniq, out
 
 
-def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
-    """Shared TAAT core: terms (sorted by max_score desc) over per-term block
-    DataFrames -> (docids, scores) exact top-k candidates (unsorted beyond
-    the guarantee that only docs outside any possible top-k were skipped)."""
-    ubs = np.array([qw * ms for (_, qw, _, ms) in terms], dtype=np.float64)
-    # BM25 idf is clamped to +1e-6 (score.IDF_EPS, matching PISA's epsilon),
-    # so every partial is strictly positive and the max-score bounds are valid
-    # for every query — pruning only yields to conjunctive semantics
+def _taat_score(terms, by_term, partial, k, conjunctive, use_block_max):
+    """Shared TAAT core: terms = [(term_id, qweight, stat, max_score)] sorted
+    by max_score desc, over per-term block frames -> (docids, scores) —
+    exact: only docs provably outside any possible top-k are skipped.
+
+    ``partial(tf, dl, stat)`` is the scorer's vectorized per-posting partial.
+    ``use_block_max``: trust the stored per-block max (only valid when the
+    index's build scorer/params match); otherwise bound each block by the
+    term-level max_score (max-score pruning)."""
+    # per-term upper bounds clamped at 0: a doc unmatched by a remaining term
+    # gains 0 from it, so negative maxima (possible for qld/pl2/dph) must not
+    # lower the remaining-terms bound
+    ubs = np.array([max(0.0, qw * ms) for (_, qw, _, ms) in terms], dtype=np.float64)
     can_prune = not conjunctive
     rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
 
@@ -77,7 +99,7 @@ def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
     nmatch_c = np.empty(0, dtype=np.int64)
     theta = -np.inf
 
-    for i, (tid, qw, df_, _ms) in enumerate(terms):
+    for i, (tid, qw, st, ms) in enumerate(terms):
         grp = by_term.get(int(tid))
         if grp is None:
             continue
@@ -87,11 +109,12 @@ def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
                 lo = np.searchsorted(acc_d, row.docid_first, "left")
                 hi = np.searchsorted(acc_d, row.docid_last, "right")
                 acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
-                if qw * row.block_max_score + max(acc_max, 0.0) + rest_ub[i] < theta:
+                bound = row.block_max_score if use_block_max else ms
+                if qw * bound + max(acc_max, 0.0) + rest_ub[i] < theta:
                     continue
             d, tf, dl = _decode_posting_arrays(row)
             seg_d.append(d)
-            seg_s.append(qw * S.bm25_np(tf, dl, float(df_), num_docs, avg_doclen, k1, b))
+            seg_s.append(qw * partial(tf, dl, float(st)))
         if seg_d:
             new_d = np.concatenate(seg_d)
             new_s = np.concatenate(seg_s)
@@ -102,7 +125,13 @@ def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
                 )
                 nmatch_c = nmatch_c.astype(np.int64)
         if can_prune and acc_s.size >= k:
-            theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+            kth = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+            # final ranking is at float32 granularity: a doc whose double
+            # score is below kth but float32-ties it can still enter the
+            # top-k via the docid tie-break, so the pruning threshold must
+            # drop to the float32 bucket boundary below kth (conservative —
+            # only reduces skipping, never excludes a potential winner)
+            theta = float(np.nextafter(np.float32(kth), np.float32(-np.inf)))
 
     if conjunctive and acc_d.size:
         keep = nmatch_c >= len(terms)
@@ -112,17 +141,16 @@ def _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b, conjunctive):
 
 def _topk_frame(qid, acc_d, acc_s, k):
     kk = min(k, acc_d.size)
-    # top-k with (score DESC, docid ASC): lexsort on (-score, docid)
-    order = np.lexsort((acc_d, -acc_s))[:kk]
+    # top-k with (float32(score) DESC, docid ASC): ranking is at float32
+    # granularity engine-wide (see retrieve.topk) so summation-order ulp
+    # noise ties break by docid identically across engines
+    order = np.lexsort((acc_d, -acc_s.astype(np.float32)))[:kk]
     return pd.DataFrame({
         "qid": qid,
         "docid": acc_d[order],
         "score": acc_s[order],
         "rank": np.arange(kk, dtype=np.int32),
     })
-
-
-_EMPTY = None
 
 
 def _empty_frame():
@@ -132,10 +160,15 @@ def _empty_frame():
                          "rank": pd.Series(dtype=np.int32)})
 
 
-def make_query_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
-                      k: int, k1: float, b: float, conjunctive: bool = False):
-    """Build the per-query applyInPandas kernel. ``qinfo``: qid -> list of
-    (term_id, qweight, df, max_score), sorted by max_score desc."""
+def make_query_kernel(qinfo: dict, partial, k: int, conjunctive: bool = False,
+                      use_block_max: bool = True):
+    """Per-(qid, task_group) applyInPandas kernel. ``qinfo``: qid -> list of
+    (term_id, qweight, stat, max_score), sorted by max_score desc. Emits the
+    group's LOCAL top-k; the caller's window merges groups.
+
+    Conjunctive queries can only run per-group because a doc's postings for
+    ALL terms live in the same chunk (build contract) and a chunk maps to one
+    group — per-group nmatch counts are therefore complete."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -146,8 +179,8 @@ def make_query_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
             return _empty_frame()
         by_term = {int(tid): grp.sort_values("block_id")
                    for tid, grp in pdf.groupby("term_id")}
-        acc_d, acc_s = _taat_score(terms, by_term, num_docs, avg_doclen, k, k1, b,
-                                   conjunctive)
+        acc_d, acc_s = _taat_score(terms, by_term, partial, k, conjunctive,
+                                   use_block_max)
         if acc_d.size == 0:
             return _empty_frame()
         return _topk_frame(qid, acc_d, acc_s, k)
@@ -155,28 +188,27 @@ def make_query_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
     return kernel
 
 
-def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
-                      k: int, k1: float, b: float, chunk_span: int,
+def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
                       conjunctive: bool = False):
-    """Kernel for the docid-partitioned BATCH mode: each task holds one index
-    chunk's blocks (every block lies entirely inside one chunk by build
+    """Kernel for the docid-partitioned BATCH mode: each task holds one chunk
+    group's blocks (every block lies entirely inside one chunk by build
     contract) and scores ALL queries against them.
 
     Two batching wins over the naive per-query design:
-    - per-posting BM25 partials are query-INDEPENDENT: each term's blocks are
+    - per-posting partials are query-INDEPENDENT: each term's blocks are
       decoded + scored ONCE per task, as (local docid offset, partial) arrays;
     - the chunk's docid range is bounded by chunk_span, so per-query
       accumulation is direct fancy-indexing into a DENSE float accumulator
       (TAAT with dense accumulators — the reference's ranked_or_taat, R9) —
       no sort/unique per query.
 
-    Emits local top-k per (chunk, query); the global window keeps the true
-    top-k (exact: a doc in the global top-k is necessarily in its chunk's
+    Emits local top-k per (group, query); the global window keeps the true
+    top-k (exact: a doc in the global top-k is necessarily in its group's
     local top-k)."""
-    tid_df = {}
+    tid_stat = {}
     for terms in qinfo.values():
-        for (tid, _qw, df_, _ms) in terms:
-            tid_df[int(tid)] = float(df_)
+        for (tid, _qw, st, _ms) in terms:
+            tid_stat[int(tid)] = float(st)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -198,7 +230,7 @@ def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
                 for row in grp.itertuples():
                     d, tf, dl = _decode_posting_arrays(row)
                     ds.append(d - base)
-                    ss.append(S.bm25_np(tf, dl, tid_df[tid], num_docs, avg_doclen, k1, b))
+                    ss.append(partial(tf, dl, tid_stat[tid]))
                 term_arrays[tid] = (np.concatenate(ds), np.concatenate(ss))
             for qid, terms in qinfo.items():
                 hit_tids = [(int(t[0]), t[1]) for t in terms if int(t[0]) in term_arrays]
@@ -218,7 +250,8 @@ def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
                     # argpartition could drop the tie-preferred lower docid
                     # at the k boundary and break global rank identity
                     if loc.size > k:
-                        order = np.lexsort((loc, -acc[loc]))[:k]
+                        # float32-granularity cap, same ordering as _topk_frame
+                        order = np.lexsort((loc, -acc[loc].astype(np.float32)))[:k]
                         loc = loc[order]
                     q_docids[qid].append(base + loc)
                     q_scores[qid].append(acc[loc].copy())
@@ -236,62 +269,49 @@ def make_batch_kernel(qinfo: dict, num_docs: int, avg_doclen: float,
     return kernel
 
 
-def retrieve_blockmax(
-    index,  # PersistedIndex
-    queries: list[tuple[str, str]],
-    k: int = DEFAULT_NUM_RESULTS,
-    stopwords="none",
-    conjunctive: bool = False,
-    include_query: bool = True,
-    cast_float32: bool = True,
-) -> DataFrame:
-    """Pruned top-k retrieval over a persisted block index. Returns
-    (qid[, query], docid, docno, score, rank) — rank-identical to the
-    exhaustive plan."""
+def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
+    """Shared prep for both kernels: parse queries, join lexicon + scorer-
+    keyed max_scores, return (spark, qinfo, meta, resolved params)."""
+    from ..sources.index_store import ensure_term_stats
+
     spark = index.docmap.sparkSession
     meta = index.meta
-    k1 = meta["scorer"]["k1"]
-    b = meta["scorer"]["b"]
-    stats = index.stats
+    k1 = meta["scorer"]["k1"] if k1 is None else k1
+    b = meta["scorer"]["b"] if b is None else b
 
     qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
                             stopwords=stopwords)
+    stat_col = S.term_stat_col(scorer)
+    ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
+    lex = index.lexicon.select("term", "term_id", F.col(stat_col).alias("stat")).join(
+        ts.withColumnRenamed("max_score", "ms"), "term_id", "left"
+    ).fillna({"ms": 0.0})
     matched = (
         F.broadcast(qterms)
-        .join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
-        .select("qid", "term_id", "qweight", "df", "max_score")
+        .join(lex, "term")
+        .select("qid", "term_id", "qweight", "stat", "ms")
         .collect()
     )
     qinfo: dict[str, list] = {}
     for r in matched:
         qinfo.setdefault(r["qid"], []).append(
-            (int(r["term_id"]), float(r["qweight"]), float(r["df"]), float(r["max_score"]))
+            (int(r["term_id"]), float(r["qweight"]), float(r["stat"]), float(r["ms"]))
         )
     for qid in qinfo:
         qinfo[qid].sort(key=lambda t: -t[3])
+    partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
+    use_block_max = (scorer == "bm25" and k1 == meta["scorer"]["k1"]
+                     and b == meta["scorer"]["b"])
+    return spark, qinfo, partial, use_block_max
 
-    tid_qids: list[tuple[int, str]] = []
-    for qid, terms in qinfo.items():
-        for (tid, _, _, _) in terms:
-            tid_qids.append((tid, qid))
-    if not tid_qids:
-        out = spark.createDataFrame([], schema="qid string, docid long, docno string, score float, rank int")
-        return out
-    tq = spark.createDataFrame(tid_qids, schema="term_id long, qid string")
 
-    # isin filter reaches the parquet scan (row-group min/max pruning on the
-    # range-partitioned postings files) before the broadcast join fans out
-    tids = sorted({tid for tid, _ in tid_qids})
-    cand = index.blocks.filter(F.col("term_id").isin(tids)).join(F.broadcast(tq), "term_id").select(
-        "qid", "term_id", "block_id", "count", "docid_first", "docid_last",
-        "block_max_score", "docids_delta", "tfs", "doclens"
-    )
-    kernel = make_query_kernel(qinfo, stats["num_docs"], stats["avg_doclen"], k, k1, b,
-                               conjunctive=conjunctive)
-    results = cand.groupBy("qid").applyInPandas(
-        kernel, schema="qid string, docid long, score double, rank int"
-    )
-    out = results.join(index.docmap.select("docid", "docno"), "docid")
+def _finalize_blockmax(spark, index, local: DataFrame, queries, k,
+                       include_query, cast_float32) -> DataFrame:
+    """Local per-group top-ks -> global window top-k -> docno decode."""
+    from ..operators.retrieve import topk as _topk_plan
+
+    top = _topk_plan(local.drop("rank"), k)
+    out = top.join(index.docmap.select("docid", "docno"), "docid")
     # reference pins float32 result dtype (__init__.py:500-503); keep double
     # when the caller compares against a double-precision oracle
     score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
@@ -302,18 +322,88 @@ def retrieve_blockmax(
     return out.select("qid", "docid", "docno", score_col, "rank")
 
 
+def _empty_result(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], schema="qid string, docid long, docno string, score float, rank int")
+
+
+def _with_task_group(index, tids) -> tuple[DataFrame, int]:
+    """Candidate blocks for the query terms, tagged with their docid-chunk
+    task group. The isin filter reaches the parquet scan (row-group min/max
+    pruning on the range-partitioned postings files)."""
+    meta = index.meta
+    chunk_span = meta.get("chunk_span", 1 << 16)
+    n_groups = int(meta.get("batch_groups", 32))
+    cand = index.blocks.filter(F.col("term_id").isin(tids)).withColumn(
+        "chunk", (F.col("docid_first") / F.lit(chunk_span)).cast("long")
+    ).withColumn("task_group", F.pmod(F.col("chunk"), F.lit(n_groups)))
+    return cand, chunk_span
+
+
+def retrieve_blockmax(
+    index,  # PersistedIndex
+    queries: list[tuple[str, str]],
+    k: int = DEFAULT_NUM_RESULTS,
+    scorer: str = "bm25",
+    stopwords=DEFAULT_STOPWORDS,
+    conjunctive: bool = False,
+    include_query: bool = True,
+    cast_float32: bool = True,
+    k1: float | None = None,
+    b: float | None = None,
+    mu: float = 1000.0,
+    c: float = 1.0,
+) -> DataFrame:
+    """Pruned top-k retrieval over a persisted block index, any scorer.
+    Returns (qid[, query], docid, docno, score, rank) — rank- and
+    score-identical to the exhaustive plan.
+
+    Parallelism: (qid, task_group) — a query's candidate blocks spread over
+    up to ``batch_groups`` tasks, each pruning independently and emitting a
+    local top-k (no single-task hot-query bottleneck)."""
+    spark, qinfo, partial, use_block_max = _query_plan_inputs(
+        index, queries, k1, b, mu, c, scorer, stopwords)
+
+    tid_qids: list[tuple[int, str]] = []
+    for qid, terms in qinfo.items():
+        for (tid, _, _, _) in terms:
+            tid_qids.append((tid, qid))
+    if not tid_qids:
+        return _empty_result(spark)
+    tq = spark.createDataFrame(tid_qids, schema="term_id long, qid string")
+
+    tids = sorted({tid for tid, _ in tid_qids})
+    cand, _span = _with_task_group(index, tids)
+    cand = cand.join(F.broadcast(tq), "term_id").select(
+        "qid", "task_group", "term_id", "block_id", "count", "docid_first",
+        "docid_last", "block_max_score", "docids_delta", "tfs", "doclens"
+    )
+    kernel = make_query_kernel(qinfo, partial, k, conjunctive=conjunctive,
+                               use_block_max=use_block_max)
+    local = cand.groupBy("qid", "task_group").applyInPandas(
+        kernel, schema="qid string, docid long, score double, rank int"
+    )
+    return _finalize_blockmax(spark, index, local, queries, k, include_query,
+                              cast_float32)
+
+
 def retrieve_blockmax_batch(
     index,  # PersistedIndex
     queries: list[tuple[str, str]],
     k: int = DEFAULT_NUM_RESULTS,
-    stopwords="none",
+    scorer: str = "bm25",
+    stopwords=DEFAULT_STOPWORDS,
     conjunctive: bool = False,
     include_query: bool = True,
     cast_float32: bool = True,
+    k1: float | None = None,
+    b: float | None = None,
+    mu: float = 1000.0,
+    c: float = 1.0,
 ) -> DataFrame:
-    """Batch-throughput retrieval: partition the candidate blocks by index
-    CHUNK (docid range) and score the whole query batch inside each chunk
-    task, then keep the global top-k per query with a window.
+    """Batch-throughput retrieval, any scorer: partition the candidate blocks
+    by chunk task group and score the whole query batch inside each task with
+    a dense accumulator, then keep the global top-k per query with a window.
 
     vs ``retrieve_blockmax`` (per-query fan-out): candidate blocks are
     shuffled ONCE for the whole batch instead of once per query — the right
@@ -321,55 +411,17 @@ def retrieve_blockmax_batch(
     runs). Per-chunk conjunctive filtering stays exact because every posting
     of docid d (any term) lives in chunk(d) by the build contract.
     Results are rank- and score-identical to the exhaustive plan."""
-    from ..operators.retrieve import topk as _topk_plan
-
-    spark = index.docmap.sparkSession
-    meta = index.meta
-    k1, b = meta["scorer"]["k1"], meta["scorer"]["b"]
-    chunk_span = meta.get("chunk_span", 1 << 16)
-    stats = index.stats
-
-    qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
-                            stopwords=stopwords)
-    matched = (
-        F.broadcast(qterms)
-        .join(index.lexicon.select("term", "term_id", "df", "max_score"), "term")
-        .select("qid", "term_id", "qweight", "df", "max_score")
-        .collect()
-    )
-    qinfo: dict[str, list] = {}
-    for r in matched:
-        qinfo.setdefault(r["qid"], []).append(
-            (int(r["term_id"]), float(r["qweight"]), float(r["df"]), float(r["max_score"]))
-        )
-    for qid in qinfo:
-        qinfo[qid].sort(key=lambda t: -t[3])
+    spark, qinfo, partial, _ubm = _query_plan_inputs(
+        index, queries, k1, b, mu, c, scorer, stopwords)
     tids = sorted({t[0] for terms in qinfo.values() for t in terms})
     if not tids:
-        return spark.createDataFrame(
-            [], schema="qid string, docid long, docno string, score float, rank int")
+        return _empty_result(spark)
 
-    cand = index.blocks.filter(F.col("term_id").isin(tids)).withColumn(
-        "chunk", (F.col("docid_first") / F.lit(chunk_span)).cast("long")
-    )
-    # hash chunks into a FIXED number of task groups: each query emits <= k
-    # rows per GROUP (the kernel merges its chunks' top-ks locally), so the
-    # final window sees O(n_groups * queries * k) rows — independent of how
-    # many chunks the corpus spans AND of the cluster size (a core count
-    # -dependent group count would change the work itself between cluster
-    # sizes, breaking scaling comparability)
-    n_groups = int(meta.get("batch_groups", 32))
-    cand = cand.withColumn("task_group", F.pmod(F.col("chunk"), F.lit(n_groups)))
-    kernel = make_batch_kernel(qinfo, stats["num_docs"], stats["avg_doclen"], k, k1, b,
-                               chunk_span, conjunctive=conjunctive)
+    cand, chunk_span = _with_task_group(index, tids)
+    kernel = make_batch_kernel(qinfo, partial, k, chunk_span,
+                               conjunctive=conjunctive)
     local = cand.groupBy("task_group").applyInPandas(
         kernel, schema="qid string, docid long, score double, rank int"
-    ).drop("rank")
-    top = _topk_plan(local, k)
-    out = top.join(index.docmap.select("docid", "docno"), "docid")
-    score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
-    if include_query:
-        qdf = spark.createDataFrame(queries, schema="qid string, query string")
-        out = out.join(F.broadcast(qdf), "qid")
-        return out.select("qid", "query", "docid", "docno", score_col, "rank")
-    return out.select("qid", "docid", "docno", score_col, "rank")
+    )
+    return _finalize_blockmax(spark, index, local, queries, k, include_query,
+                              cast_float32)

@@ -162,6 +162,45 @@ def q_block_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks
 
 
+_PERSISTED: dict[str, object] = {}
+
+
+def _persisted(spark: SparkSession, sf_dir: str):
+    """One shared persisted block index per sf_dir (built into a tempdir):
+    every entry exercising the pruned/batch kernels reuses it instead of
+    re-inverting the corpus."""
+    import tempfile
+
+    from ..sources.index_store import build_index, load_index
+
+    if sf_dir not in _PERSISTED:
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("doc_id").cast("string").alias("docno"),
+            F.col("text").alias("content"),
+        )
+        path = tempfile.mkdtemp(prefix="ppisa_idx_") + "/idx"
+        build_index(corpus, path, stemmer="none", id_col="doc_id", mode="overwrite")
+        _PERSISTED[sf_dir] = load_index(spark, path)
+    return _PERSISTED[sf_dir]
+
+
+def _blockmax_batch_topk(spark: SparkSession, sf_dir: str, scorer: str) -> DataFrame:
+    """Scorer-generic SCALE path: persisted block index + the batch
+    dense-accumulator kernel (scorer-keyed term stats) — must match the same
+    DuckDB oracle as the exhaustive Column plan (variants-matrix contract,
+    reference ``tests/test_variants.py:7-28``)."""
+    from ..operators.wand import retrieve_blockmax_batch
+
+    idx = _persisted(spark, sf_dir)
+    res = retrieve_blockmax_batch(idx, QUERIES, k=TOPK_K, scorer=scorer,
+                                  stopwords="none", include_query=False,
+                                  cast_float32=False)
+    return res.select("qid", F.col("docid").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def _bm25_topk_df(spark: SparkSession, sf_dir: str, mode: str, scorer: str = "bm25") -> DataFrame:
     idx = _index(spark, sf_dir)
     qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="none")
@@ -200,24 +239,27 @@ def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk_df(spark, sf_dir, "or", scorer="qld")
 
 
+def q_dph_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _blockmax_batch_topk(spark, sf_dir, "dph")
+
+
+def q_pl2_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _blockmax_batch_topk(spark, sf_dir, "pl2")
+
+
+def q_qld_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _blockmax_batch_topk(spark, sf_dir, "qld")
+
+
 def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full persisted path: build block-compressed index on disk, answer with
     the block-max pruned kernel — must match the SAME SQL oracle as the
     exhaustive plan (rank/score identity contract)."""
-    import tempfile
-
     from ..operators.wand import retrieve_blockmax
-    from ..sources.index_store import build_index, load_index
 
-    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("doc_id").cast("string").alias("docno"),
-        F.col("text").alias("content"),
-    )
-    path = tempfile.mkdtemp(prefix="ppisa_idx_") + "/idx"
-    build_index(corpus, path, stemmer="none", id_col="doc_id", mode="overwrite")
-    idx = load_index(spark, path)
-    res = retrieve_blockmax(idx, QUERIES, k=TOPK_K, include_query=False, cast_float32=False)
+    idx = _persisted(spark, sf_dir)
+    res = retrieve_blockmax(idx, QUERIES, k=TOPK_K, stopwords="none",
+                            include_query=False, cast_float32=False)
     return res.select("qid", F.col("docid").alias("doc_id"),
                       F.round(F.col("score"), 4).alias("score"),
                       F.col("rank").cast("int").alias("rank"))
@@ -228,6 +270,19 @@ def q_bm25_topk_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped from queries, ``_pisathon.cpp:501``) — lucene list."""
     idx = _index(spark, sf_dir)
     qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="lucene")
+    scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer="bm25")
+    top = R.topk(R.ranked_or(scored), TOPK_K)
+    return top.select("qid", F.col("docid").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_bm25_topk_terrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as bm25_topk_stop but with the vendored 733-word Terrier list —
+    the reference's DEFAULT stopword behavior (``__init__.py:120``,
+    ``stopwords.py:1-6``)."""
+    idx = _index(spark, sf_dir)
+    qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="terrier")
     scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer="bm25")
     top = R.topk(R.ranked_or(scored), TOPK_K)
     return top.select("qid", F.col("docid").alias("doc_id"),
@@ -324,7 +379,7 @@ scored AS (
 ORACLES["bm25_topk"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS}, {_SQL_BM25_SCORED}
 SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
     SELECT qid, doc_id, score,
-           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           row_number() OVER (PARTITION BY qid ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk
     FROM scored
 ) WHERE rnk <= {TOPK_K}"""
 
@@ -339,7 +394,7 @@ qcount AS (
 )
 SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
     SELECT s.qid, s.doc_id, s.score,
-           row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+           row_number() OVER (PARTITION BY s.qid ORDER BY CAST(s.score AS REAL) DESC, s.doc_id ASC) AS rnk
     FROM scored s JOIN qcount c ON c.qid = s.qid AND s.nmatch = c.n_query_terms
 ) WHERE rnk <= {TOPK_K}"""
 
@@ -375,7 +430,7 @@ scored AS (
 )
 SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
     SELECT qid, doc_id, score,
-           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           row_number() OVER (PARTITION BY qid ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk
     FROM scored
 ) WHERE rnk <= {TOPK_K}"""
 
@@ -398,8 +453,15 @@ ORACLES["qld_topk"] = _scored_topk_sql(
     "ln(1.0 + t.tf * s.total_doclen / (1000.0 * l.cf)) + ln(1000.0 / (d.doclen + 1000.0))"
 )
 
+# the pruned/batch kernels must match the SAME oracles as the exhaustive
+# plans (rank/score identity across retrieval algorithms)
+ORACLES["dph_topk_blockmax"] = ORACLES["dph_topk"]
+ORACLES["pl2_topk_blockmax"] = ORACLES["pl2_topk"]
+ORACLES["qld_topk_blockmax"] = ORACLES["qld_topk"]
+
 
 from ..functions.stopwords import LUCENE as _LUCENE
+from ..functions.stopwords import TERRIER as _TERRIER
 
 _SQL_QUERY_TERMS_STOP = (
     "qterms(qid, term, qweight) AS (VALUES "
@@ -414,7 +476,24 @@ _SQL_QUERY_TERMS_STOP = (
 ORACLES["bm25_topk_stop"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS_STOP}, {_SQL_BM25_SCORED}
 SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
     SELECT qid, doc_id, score,
-           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           row_number() OVER (PARTITION BY qid ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {TOPK_K}"""
+
+_SQL_QUERY_TERMS_TERRIER = (
+    "qterms(qid, term, qweight) AS (VALUES "
+    + ", ".join(
+        "('%s', '%s', %d.0)" % (qid, t, sum(1 for x in q.split() if x == t))
+        for qid, q in QUERIES
+        for t in sorted(set(q.split()) - _TERRIER)
+    )
+    + ")"
+)
+
+ORACLES["bm25_topk_terrier"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS_TERRIER}, {_SQL_BM25_SCORED}
+SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk
     FROM scored
 ) WHERE rnk <= {TOPK_K}"""
 
@@ -438,7 +517,11 @@ IR_QUERIES = {
     "dph_topk": q_dph_topk,
     "pl2_topk": q_pl2_topk,
     "qld_topk": q_qld_topk,
+    "dph_topk_blockmax": q_dph_topk_blockmax,
+    "pl2_topk_blockmax": q_pl2_topk_blockmax,
+    "qld_topk_blockmax": q_qld_topk_blockmax,
     "quantized_dot": q_quantized_dot,
     "bm25_topk_stop": q_bm25_topk_stop,
+    "bm25_topk_terrier": q_bm25_topk_terrier,
     "events_windowed": q_events_windowed,
 }

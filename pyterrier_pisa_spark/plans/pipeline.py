@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.stopwords import DEFAULT_STOPWORDS
 from ..operators import build as B
 from ..operators import retrieve as R
 
@@ -115,7 +116,7 @@ def retrieve(
     queries: list[tuple[str, str]],
     scorer: str = "bm25",
     k: int = R.DEFAULT_NUM_RESULTS,
-    stopwords="none",
+    stopwords=DEFAULT_STOPWORDS,
     mode: str = "ranked_or",
     include_query: bool = True,
     **scorer_params,

@@ -223,10 +223,19 @@ def build_index(
         term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
         _commit_phase(path, "maxscore", {"sec": time.time() - t1})
 
+    # task-group count for the retrieval kernels: derived from INDEX SIZE at
+    # build time (not cluster size) so the query-phase work plan is invariant
+    # across cluster sizes (scaling comparability), while parallelism grows
+    # with data: one group per docid chunk up to 4096 (beyond that, local
+    # top-k merging per group matters more than extra task keys)
+    num_chunks = max(1, -(-int(stats["num_docs"]) // chunk_span))
+    batch_groups = min(4096, max(32, num_chunks))
+
     meta = {
         "version": FORMAT_VERSION,
         "type": "sparse_index",
         "format": "pyterrier_pisa_spark",
+        "batch_groups": batch_groups,
         "stemmer": stemmer if not pretokenized else "none",
         "pretokenized": pretokenized,
         "scale": scale if pretokenized else None,
@@ -403,6 +412,48 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
         "term_id", "block_id"
     )
     out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+
+
+def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
+                      b: float = 0.4, mu: float = 1000.0, c: float = 1.0) -> DataFrame:
+    """(term_id, max_score) for the requested scorer — the per-scorer WAND
+    data of the reference (``_pisathon.cpp:229-255``: wand/quantized data is
+    cache-keyed by (scorer, params) and rebuilt on miss).
+
+    The index stores BM25 max-scores at its build params for free (phase 4).
+    Any other (scorer, params) triggers ONE decode pass over the packed
+    blocks (per-block max partial -> per-term max), cached as
+    ``term_stats_<key>/`` parquet beside the index so subsequent queries on
+    the same scorer are pure reads. The pass is embarrassingly parallel over
+    block rows (no shuffle before the term-level agg)."""
+    spark = index.docmap.sparkSession
+    meta = index.meta
+    if scorer == "bm25" and k1 == meta["scorer"]["k1"] and b == meta["scorer"]["b"]:
+        return index.lexicon.select("term_id", "max_score")
+    key = S.scorer_cache_key(scorer, k1, b, mu, c)
+    cache_dir = os.path.join(index.path, f"term_stats_{key}")
+    if not os.path.exists(cache_dir):
+        stat_col = S.term_stat_col(scorer)
+        partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
+        stats_map = F.broadcast(index.lexicon.select("term_id", F.col(stat_col).alias("stat")))
+        blocks = index.blocks.select("term_id", "count", "tfs", "doclens").join(stats_map, "term_id")
+
+        def _block_max(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                maxes = np.empty(len(pdf), dtype=np.float64)
+                for i, (cnt, tb, lb, st) in enumerate(zip(
+                        pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
+                    t = varint_decode(tb, int(cnt)).astype(np.float64)
+                    dl = varint_decode(lb, int(cnt)).astype(np.float64)
+                    maxes[i] = partial(t, dl, float(st)).max()
+                yield pd.DataFrame({"term_id": pdf["term_id"], "bmax": maxes})
+
+        per_block = blocks.mapInPandas(_block_max, schema="term_id long, bmax double")
+        ts = per_block.groupBy("term_id").agg(F.max("bmax").alias("max_score"))
+        ts.write.mode("overwrite").parquet(cache_dir)
+    return spark.read.parquet(cache_dir)
 
 
 # ------------------------------------------------------------------ loading

@@ -202,3 +202,30 @@ def test_porter2_total_and_idempotent_shape(word):
     assert isinstance(s, str)
     assert s == s.lower()
     assert len(s) <= len(word) + 1  # porter2 may add back an 'e'
+
+
+def test_terrier_stopword_list_vendored():
+    """The reference's DEFAULT stop list (T7): 733 words from
+    org.terrier.terms.Stopwords, vendored verbatim (reference
+    stopwords.py:1-6, default wiring __init__.py:120)."""
+    from pyterrier_pisa_spark.functions.stopwords import (
+        DEFAULT_STOPWORDS, TERRIER, get_stopwords)
+
+    assert len(TERRIER) == 733
+    # spot membership: common words + Terrier's idiosyncratic entries
+    for w in ["the", "a", "and", "get", "yourselves", "zillion", "abaft",
+              "vis-a-vis", "anywhere", "whereas"]:
+        assert w in TERRIER, w
+    for w in ["cat", "spark", "query", "return"]:
+        assert w not in TERRIER, w
+    assert DEFAULT_STOPWORDS == "terrier"
+    assert get_stopwords("terrier") is TERRIER
+
+
+def test_default_stopwords_is_terrier_in_query_path():
+    from pyterrier_pisa_spark.functions.stopwords import get_stopwords
+    from pyterrier_pisa_spark.functions.tokenizer import tokenize_queries
+
+    rows = tokenize_queries([("q1", "the cat gets aboard")], stemmer="none",
+                            stopwords=get_stopwords("terrier"))
+    assert {t for _, t, _ in rows} == {"cat", "aboard"}  # the/gets dropped
