@@ -31,6 +31,26 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 STEMMERS = ("porter2", "none")
 
+# The reference also enumerates 'krovetz' (``__init__.py:45``, wired to the
+# Lemur KStem C++ in ``_pisathon.cpp:145-148``). KStem is a DICTIONARY-driven
+# stemmer: faithful behavior requires the Lemur head-word dictionary (tens of
+# thousands of entries), which is data we deliberately do not vendor; a
+# rules-only approximation would silently diverge from the reference and
+# corrupt cross-engine index compatibility. Requests fail loudly instead.
+_KROVETZ_MSG = (
+    "stemmer 'krovetz' is not implemented: KStem requires the Lemur "
+    "dictionary (not vendored). Use stemmer='porter2' (the reference "
+    "default) or stemmer='none', or pre-tokenize the corpus (toks path) "
+    "with your own Krovetz implementation."
+)
+
+
+def _check_stemmer(stemmer: str) -> None:
+    if stemmer == "krovetz":
+        raise NotImplementedError(_KROVETZ_MSG)
+    if stemmer not in STEMMERS:
+        raise ValueError(f"unknown stemmer {stemmer!r}; choose from {STEMMERS}")
+
 
 def tokenize_text(text: str, stemmer: str = "porter2") -> list[str]:
     """Driver-side single-string tokenize (reference ``tokenize()`` public fn,
@@ -46,8 +66,7 @@ def tokenize_text(text: str, stemmer: str = "porter2") -> list[str]:
 
 def tokenize_udf(stemmer: str = "porter2"):
     """``content:string -> array<string>`` Arrow-batched pandas UDF."""
-    if stemmer not in STEMMERS:
-        raise ValueError(f"unknown stemmer {stemmer!r}; choose from {STEMMERS}")
+    _check_stemmer(stemmer)
     use_stem = stemmer == "porter2"
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -81,8 +100,7 @@ def termvec_udf(stemmer: str = "porter2"):
     ``doclen`` = total token count = sum(tfs), matching the reference's
     ``inv.sizes`` doclen semantics (``indexers.py:115``).
     """
-    if stemmer not in STEMMERS:
-        raise ValueError(f"unknown stemmer {stemmer!r}; choose from {STEMMERS}")
+    _check_stemmer(stemmer)
     use_stem = stemmer == "porter2"
 
     @F.pandas_udf(_TERMVEC_SCHEMA)

@@ -116,9 +116,10 @@ def assign_dense_ids(
     return out
 
 
-def validate_dense_ids(df: DataFrame, id_col: str, require_dense: bool = True) -> None:
+def validate_dense_ids(df: DataFrame, id_col: str, require_dense: bool = True) -> int:
     """Cheap corruption guard for id assignment (one agg job): ids must be
-    unique; with ``require_dense`` additionally exactly 0..n-1."""
+    unique; with ``require_dense`` additionally exactly 0..n-1. Returns the
+    row count (so callers don't need a second count job)."""
     row = df.agg(
         F.count("*").alias("n"),
         F.countDistinct(id_col).alias("nd"),
@@ -127,13 +128,14 @@ def validate_dense_ids(df: DataFrame, id_col: str, require_dense: bool = True) -
     ).collect()[0]
     n = row["n"]
     if not n:
-        return
+        return 0
     ok = row["nd"] == n and (not require_dense or (row["mn"] == 0 and row["mx"] == n - 1))
     if not ok:
         raise AssertionError(
             f"id assignment corrupted for {id_col}: n={n} distinct={row['nd']} "
             f"min={row['mn']} max={row['mx']} (require_dense={require_dense})"
         )
+    return int(n)
 
 
 def build_tf(corpus: DataFrame, stemmer: str = "porter2") -> DataFrame:

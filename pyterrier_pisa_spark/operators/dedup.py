@@ -79,19 +79,29 @@ def shingles(df: DataFrame, content_col: str = "content", id_col: str = "docid",
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def jaccard_pairs(df: DataFrame, content_col: str = "content", id_col: str = "docid",
-                  n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None) -> DataFrame:
+                  n: int = 3, threshold: float = 0.5,
+                  max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF) -> DataFrame:
     """(id_a, id_b, jaccard) for id_a < id_b with n-gram Jaccard >= threshold.
 
     inverted-join plan: shingle -> (doc pairs sharing it) -> count = |A∩B|;
-    |A∪B| = |A|+|B|-|A∩B|. ``max_shingle_df`` drops ultra-hot shingles
-    (quadratic join guard at scale)."""
+    |A∪B| = |A|+|B|-|A∩B|. ``max_shingle_df`` drops ultra-hot shingles —
+    a shingle shared by >max_df docs carries ~0 bits for near-dup detection
+    but produces df^2 join rows, so the quadratic guard is ON by default
+    (pass ``None`` to disable for small/exact runs). NOTE: dropping a hot
+    shingle removes it from the intersection AND the per-doc set sizes, so
+    jaccard stays a consistent similarity over the filtered shingle space."""
     sh = shingles(df, content_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(
             F.col("sdf") > max_shingle_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
+    # sizes over the FILTERED shingle space (consistency: |A|,|B| and |A∩B|
+    # must count the same universe or jaccard can exceed 1 / lose symmetry)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -144,19 +154,53 @@ def lsh_candidates(sigs: DataFrame, bands: int = 4, num_hashes: int = 16) -> Dat
     )
 
 
+def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
+                            content_col: str = "content", id_col: str = "docid",
+                            n: int = 3, include_zero_pairs: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN pair set only (id_a, id_b) ->
+    (id_a, id_b, jaccard). Cost scales with |pairs| * avg_shingles, NOT with
+    the corpus's co-occurrence structure: the shingle sets are attached to
+    the pair frame by two equi-joins on doc id — no shingle self-join, so no
+    df^2 blow-up on hot shingles.
+
+    ``include_zero_pairs=False`` skips the join-back that re-emits pairs with
+    no shared shingle (jaccard 0) — callers that threshold-filter anyway
+    (minhash_dedup) avoid a second traversal of the pairs subtree."""
+    sh = shingles(df, content_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])  # matches only shared shingles
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if include_zero_pairs:
+        # left join back: pairs with zero shared shingles get jaccard 0
+        inter = pairs.join(inter, ["id_a", "id_b"], "left").fillna({"inter": 0})
+    out = (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
 def minhash_dedup(df: DataFrame, content_col: str = "content", id_col: str = "docid",
                   n: int = 3, num_hashes: int = 16, bands: int = 4,
                   threshold: float = 0.5) -> DataFrame:
-    """LSH candidates -> verified with exact Jaccard (the scalable near-dup
-    plan: candidate generation is ~linear, verification only touches pairs)."""
+    """LSH candidates -> verified with exact Jaccard computed on the
+    CANDIDATE PAIRS ONLY (``exact_jaccard_for_pairs``): candidate generation
+    is ~linear in the corpus, verification is linear in the candidate count —
+    the full near-dup plan never forms the all-co-occurring-pairs join."""
     sigs = minhash_signatures(df, content_col, id_col, n, num_hashes)
     cand = lsh_candidates(sigs, bands, num_hashes)
-    exact = jaccard_pairs(df, content_col, id_col, n, threshold=0.0)
-    return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    exact = exact_jaccard_for_pairs(df, cand, content_col, id_col, n,
+                                    include_zero_pairs=False)
+    return exact.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 # ----------------------------------------------------------------- simhash

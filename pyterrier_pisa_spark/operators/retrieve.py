@@ -120,7 +120,16 @@ def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
     summation ORDER across engines (Spark agg vs numpy kernel vs the DuckDB
     oracle) in the last double ulp; casting to float32 before the comparison
     collapses that noise so the docid tie-break decides identically
-    everywhere."""
+    everywhere.
+
+    The window's exchange is pinned with an EXPLICIT repartition on qid:
+    AQE's partition coalescing sees a few-MB shuffle and would otherwise
+    collapse the window to ONE task (the whole ranking phase serializes on a
+    single core); an explicit user repartition is exempt from coalescing and
+    replaces (not adds to) the window's required exchange."""
+    spark = scores.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    scores = scores.repartition(nparts, "qid")
     w = Window.partitionBy("qid").orderBy(
         F.col("score").cast("float").desc(), F.col("docid").asc())
     # filter on the RAW row_number (not the derived 0-based rank): that is the

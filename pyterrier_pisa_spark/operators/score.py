@@ -83,7 +83,8 @@ def quantized_col(impact: Column, query_weight: Column) -> Column:
 
 def bm25_np(tf: np.ndarray, doclen: np.ndarray, df_: float, num_docs: int,
              avg_doclen: float, k1: float = 0.9, b: float = 0.4) -> np.ndarray:
-    idf = max(IDF_EPS, math.log((num_docs - df_ + 0.5) / (df_ + 0.5)))
+    # np.maximum/np.log keep this valid for scalar OR per-posting-array df_
+    idf = np.maximum(IDF_EPS, np.log((num_docs - df_ + 0.5) / (df_ + 0.5)))
     return idf * (k1 + 1.0) * tf / (tf + k1 * (1.0 - b + b * doclen / avg_doclen))
 
 

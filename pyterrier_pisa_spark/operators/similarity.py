@@ -71,6 +71,19 @@ def _probe_buckets(bucket: Column, bits: int, hamming: int) -> Column:
     return F.array(*probes)
 
 
+def suggest_bits(n_rows: int, target_bucket: int = 256, max_bits: int = 24) -> int:
+    """Scale-aware hyperplane count: 2^bits buckets sized so the expected
+    bucket holds ~``target_bucket`` vectors (candidate set per probe stays
+    O(target_bucket) as the corpus grows — the 100 TB knob). Callers that
+    know their corpus size should pass ``bits=suggest_bits(n)`` explicitly;
+    the default bits=16 (65k buckets) suits 10^6–10^8-row corpora."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, min(max_bits, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
@@ -93,7 +106,7 @@ def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bits: int = 16,
     dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -104,7 +117,11 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine computed only inside buckets whose id
     is within ``multiprobe_hamming`` of the query's bucket (multi-probe
-    recovers near-boundary neighbors). Returns (qid, vec_id, cos, rank)."""
+    recovers near-boundary neighbors). Returns (qid, vec_id, cos, rank).
+
+    Pass ``dim`` explicitly (schema metadata / dataset contract) — the
+    ``None`` fallback infers it with a ``first()`` driver action (an extra
+    job). Size ``bits`` to the corpus with ``suggest_bits(n_rows)``."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)
@@ -133,7 +150,7 @@ def lsh_cosine_topk(
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int = 16,
     dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -142,7 +159,9 @@ def embedding_near_dup(
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, blocked by LSH
     bucket (id_a < id_b). Candidate pairs only form within/near buckets —
-    the standard linear-ish near-dup plan at corpus scale."""
+    the standard linear-ish near-dup plan at corpus scale. Pass ``dim``
+    explicitly (the None fallback costs a first() driver job); size ``bits``
+    with ``suggest_bits(n_rows)``."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)

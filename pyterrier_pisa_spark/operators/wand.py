@@ -189,41 +189,55 @@ def make_query_kernel(qinfo: dict, partial, k: int, conjunctive: bool = False,
 
 
 def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
-                      conjunctive: bool = False):
+                      conjunctive: bool = False, query_block: int = 64):
     """Kernel for the docid-partitioned BATCH mode: each task holds one chunk
     group's blocks (every block lies entirely inside one chunk by build
     contract) and scores ALL queries against them.
 
-    Two batching wins over the naive per-query design:
+    Vectorization (the reference's ranked_or_taat dense-accumulator idea, R9,
+    lifted to a whole query batch):
     - per-posting partials are query-INDEPENDENT: each term's blocks are
-      decoded + scored ONCE per task, as (local docid offset, partial) arrays;
-    - the chunk's docid range is bounded by chunk_span, so per-query
-      accumulation is direct fancy-indexing into a DENSE float accumulator
-      (TAAT with dense accumulators — the reference's ranked_or_taat, R9) —
-      no sort/unique per query.
+      decoded + scored ONCE per task;
+    - per chunk, the partials form a compact (terms x matched-docs) matrix M
+      (columns = the union of docids matched by any query term, NOT the full
+      chunk span) plus a 0/1 presence matrix P;
+    - the whole query batch scores as ONE pair of BLAS matmuls per query
+      block: scores = Qw @ M, match-counts = Qinc @ P — no per-query Python
+      loop over accumulators. ``query_block`` bounds the dense scores slab to
+      query_block x matched_docs.
 
-    Emits local top-k per (group, query); the global window keeps the true
-    top-k (exact: a doc in the global top-k is necessarily in its group's
-    local top-k)."""
+    Emits local top-k per (task, query) as ONE DataFrame per task; the global
+    window keeps the true top-k (exact: a doc in the global top-k is
+    necessarily in its task's local top-k, under the same float32-granularity
+    ordering)."""
     tid_stat = {}
     for terms in qinfo.values():
         for (tid, _qw, st, _ms) in terms:
             tid_stat[int(tid)] = float(st)
+    tid_list = sorted(tid_stat)
+    tid_row = {tid: i for i, tid in enumerate(tid_list)}
+    n_terms = len(tid_list)
+    qids = list(qinfo)
+    # query-term weight / incidence matrices (built once per task closure)
+    Qw = np.zeros((len(qids), n_terms), dtype=np.float64)
+    need = np.empty(len(qids), dtype=np.int32)
+    for qi, qid in enumerate(qids):
+        for (tid, qw, _st, _ms) in qinfo[qid]:
+            Qw[qi, tid_row[int(tid)]] = qw
+        need[qi] = len(qinfo[qid]) if conjunctive else 1
+    Qinc = (Qw != 0).astype(np.float64)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return _empty_frame()
-        acc = np.zeros(chunk_span, dtype=np.float64)
-        cnt = np.zeros(chunk_span, dtype=np.int32)
         # per-query candidate accumulation ACROSS the task's chunks, so each
         # query emits AT MOST k rows per task (not per chunk) — the local
         # top-k merges over chunks before anything is shuffled
-        q_docids: dict = {qid: [] for qid in qinfo}
-        q_scores: dict = {qid: [] for qid in qinfo}
+        q_docids: list[list] = [[] for _ in qids]
+        q_scores: list[list] = [[] for _ in qids]
         for chunk, cpdf in pdf.groupby("chunk"):
             base = int(chunk) * chunk_span
-            # decode + score each term once -> (local offsets, partials)
-            term_arrays: dict[int, tuple] = {}
+            span_rows: list[tuple] = []  # (term_row, local_docids, partials)
             for tid, grp in cpdf.groupby("term_id"):
                 tid = int(tid)
                 ds, ss = [], []
@@ -231,40 +245,72 @@ def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
                     d, tf, dl = _decode_posting_arrays(row)
                     ds.append(d - base)
                     ss.append(partial(tf, dl, tid_stat[tid]))
-                term_arrays[tid] = (np.concatenate(ds), np.concatenate(ss))
-            for qid, terms in qinfo.items():
-                hit_tids = [(int(t[0]), t[1]) for t in terms if int(t[0]) in term_arrays]
-                if not hit_tids:
-                    continue
-                if conjunctive and len(hit_tids) < len(terms):
-                    continue  # some query term absent from this chunk entirely
-                for tid, qw in hit_tids:
-                    idx, sc = term_arrays[tid]
-                    acc[idx] += qw * sc  # docids unique per term -> direct add
-                    cnt[idx] += 1
-                mask = cnt >= (len(terms) if conjunctive else 1)
-                loc = np.flatnonzero(mask)
-                if loc.size:
-                    # keep only this chunk's top-k candidates per query —
-                    # TIE-AWARE (score desc, docid asc): a score-only
-                    # argpartition could drop the tie-preferred lower docid
-                    # at the k boundary and break global rank identity
+                span_rows.append((tid_row[tid], np.concatenate(ds), np.concatenate(ss)))
+            # compact columns: union of matched local docids in this chunk
+            all_loc = np.unique(np.concatenate([d for _, d, _ in span_rows]))
+            col_of = np.zeros(chunk_span, dtype=np.int64)
+            col_of[all_loc] = np.arange(all_loc.size)
+            ncols = all_loc.size
+            # term-row blocking bounds the dense slab to ~64 MB regardless of
+            # how many distinct terms the query batch touches
+            t_block = max(1, min(n_terms, (8 << 20) // max(1, ncols)))
+            span_rows.sort(key=lambda r: r[0])
+            docids = base + all_loc
+            for q0 in range(0, len(qids), query_block):
+                q1 = min(q0 + query_block, len(qids))
+                S_blk = np.zeros((q1 - q0, ncols), dtype=np.float64)
+                C_blk = np.zeros((q1 - q0, ncols), dtype=np.float64)
+                si = 0
+                while si < len(span_rows):
+                    t0 = span_rows[si][0] // t_block * t_block
+                    t1 = t0 + t_block
+                    M = np.zeros((t_block, ncols), dtype=np.float64)
+                    P = np.zeros((t_block, ncols), dtype=np.float64)
+                    while si < len(span_rows) and span_rows[si][0] < t1:
+                        trow, d, s = span_rows[si]
+                        cols = col_of[d]
+                        M[trow - t0, cols] = s
+                        P[trow - t0, cols] = 1.0
+                        si += 1
+                    S_blk += Qw[q0:q1, t0:t1] @ M   # (blk x docs) scores
+                    C_blk += Qinc[q0:q1, t0:t1] @ P  # (blk x docs) match counts
+                for bi in range(q1 - q0):
+                    qi = q0 + bi
+                    sel = C_blk[bi] >= need[qi]
+                    if not sel.any():
+                        continue
+                    loc = np.flatnonzero(sel)
+                    sc = S_blk[bi, loc]
+                    d = docids[loc]
                     if loc.size > k:
-                        # float32-granularity cap, same ordering as _topk_frame
-                        order = np.lexsort((loc, -acc[loc].astype(np.float32)))[:k]
-                        loc = loc[order]
-                    q_docids[qid].append(base + loc)
-                    q_scores[qid].append(acc[loc].copy())
-                touched = np.flatnonzero(cnt > 0)
-                acc[touched] = 0.0
-                cnt[touched] = 0
-        outs = []
-        for qid in qinfo:
-            if q_docids[qid]:
-                d = np.concatenate(q_docids[qid])
-                sc = np.concatenate(q_scores[qid])
-                outs.append(_topk_frame(qid, d, sc, k))
-        return pd.concat(outs, ignore_index=True) if outs else _empty_frame()
+                        # TIE-AWARE float32-granularity cap (score desc,
+                        # docid asc) — same ordering as _topk_frame
+                        order = np.lexsort((d, -sc.astype(np.float32)))[:k]
+                        d, sc = d[order], sc[order]
+                    q_docids[qi].append(d)
+                    q_scores[qi].append(sc.copy())
+        # ONE output frame per task (not per query): per-query top-k pulled
+        # from concatenated chunk candidates, then stitched together
+        o_q, o_d, o_s, o_r = [], [], [], []
+        for qi, qid in enumerate(qids):
+            if not q_docids[qi]:
+                continue
+            d = np.concatenate(q_docids[qi])
+            sc = np.concatenate(q_scores[qi])
+            kk = min(k, d.size)
+            order = np.lexsort((d, -sc.astype(np.float32)))[:kk]
+            o_q.append(np.full(kk, qid, dtype=object))
+            o_d.append(d[order])
+            o_s.append(sc[order])
+            o_r.append(np.arange(kk, dtype=np.int32))
+        if not o_q:
+            return _empty_frame()
+        return pd.DataFrame({
+            "qid": np.concatenate(o_q),
+            "docid": np.concatenate(o_d),
+            "score": np.concatenate(o_s),
+            "rank": np.concatenate(o_r),
+        })
 
     return kernel
 
@@ -276,8 +322,8 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
 
     spark = index.docmap.sparkSession
     meta = index.meta
-    k1 = meta["scorer"]["k1"] if k1 is None else k1
-    b = meta["scorer"]["b"] if b is None else b
+    k1 = meta["scorer"].get("k1", 0.9) if k1 is None else k1
+    b = meta["scorer"].get("b", 0.4) if b is None else b
 
     qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
                             stopwords=stopwords)
@@ -300,8 +346,16 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
     for qid in qinfo:
         qinfo[qid].sort(key=lambda t: -t[3])
     partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
-    use_block_max = (scorer == "bm25" and k1 == meta["scorer"]["k1"]
-                     and b == meta["scorer"]["b"])
+    # stored per-block maxima are trusted only when they were computed for
+    # THIS (scorer, params): the build scorer (bm25 at build k1/b) or a
+    # quantized index queried with the quantized scorer (block max == max
+    # impact by construction)
+    built = meta["scorer"].get("name", "bm25")
+    use_block_max = (
+        (scorer == "bm25" and built == "bm25"
+         and k1 == meta["scorer"].get("k1") and b == meta["scorer"].get("b"))
+        or (scorer == "quantized" and built == "quantized")
+    )
     return spark, qinfo, partial, use_block_max
 
 
@@ -380,7 +434,13 @@ def retrieve_blockmax(
     )
     kernel = make_query_kernel(qinfo, partial, k, conjunctive=conjunctive,
                                use_block_max=use_block_max)
-    local = cand.groupBy("qid", "task_group").applyInPandas(
+    # explicit repartition on the group keys: satisfies the groupBy's
+    # distribution (no second exchange) AND is exempt from AQE partition
+    # coalescing, which would otherwise fold a few-MB candidate shuffle into
+    # ONE task and serialize the whole kernel phase
+    nparts = spark.sparkContext.defaultParallelism
+    local = cand.repartition(nparts, "qid", "task_group").groupBy(
+        "qid", "task_group").applyInPandas(
         kernel, schema="qid string, docid long, score double, rank int"
     )
     return _finalize_blockmax(spark, index, local, queries, k, include_query,
@@ -420,7 +480,10 @@ def retrieve_blockmax_batch(
     cand, chunk_span = _with_task_group(index, tids)
     kernel = make_batch_kernel(qinfo, partial, k, chunk_span,
                                conjunctive=conjunctive)
-    local = cand.groupBy("task_group").applyInPandas(
+    # explicit repartition: same AQE-coalescing exemption as the per-query
+    # path — without it the kernel runs as one task on small candidate sets
+    nparts = spark.sparkContext.defaultParallelism
+    local = cand.repartition(nparts, "task_group").groupBy("task_group").applyInPandas(
         kernel, schema="qid string, docid long, score double, rank int"
     )
     return _finalize_blockmax(spark, index, local, queries, k, include_query,

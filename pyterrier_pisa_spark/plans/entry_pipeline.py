@@ -252,21 +252,106 @@ WHERE rnk <= {ANN_K}
 """
 
 
+ANN_BITS = 8
+ANN_DIM = 64  # testdata embeddings dim (dataset contract — no first() probe)
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only driver check; recall vs brute force is
-    asserted in pytest)."""
+    """Approximate ANN — fully ORACLED: the hyperplane LSH is seeded and
+    deterministic, so the bucket math (sign bits of literal-coefficient dot
+    products), the multiprobe equi-join, and the in-bucket exact cosine are
+    all reproduced in ANSI SQL with the SAME left-to-right float arithmetic."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
-    return SIM.lsh_cosine_topk(emb, queries, k=ANN_K, bits=8, multiprobe_hamming=1)
+    out = SIM.lsh_cosine_topk(emb, queries, k=ANN_K, bits=ANN_BITS, dim=ANN_DIM,
+                              multiprobe_hamming=1)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"), "cos",
+                      F.col("rank").cast("int").alias("rank"))
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline (rows-only; recall asserted in
-    pytest against exact jaccard)."""
+    """Full MinHash-LSH near-dup pipeline — fully ORACLED: md5-derived
+    minhashes, band buckets, candidate join, and exact-jaccard verification
+    are all deterministic and SQL-expressible."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return DD.minhash_dedup(docs, content_col="text", id_col="doc_id",
-                            n=NGRAM, num_hashes=MINHASHES, bands=4, threshold=JACCARD_T)
+    out = DD.minhash_dedup(docs, content_col="text", id_col="doc_id",
+                           n=NGRAM, num_hashes=MINHASHES, bands=4, threshold=JACCARD_T)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"), "jaccard")
+
+
+def _lsh_ann_oracle() -> str:
+    """SQL replica of lsh_cosine_topk(bits=8, dim=64, seed=42, hamming=1):
+    plane coefficients embedded as literals; dot/norm chains written in the
+    same left-to-right association as the Spark Column fold so the doubles
+    (and therefore the sign bits and the ranking) are bit-identical."""
+    planes = SIM._hyperplanes(ANN_DIM, ANN_BITS, seed=42)
+
+    def dot_chain(vec: str, row) -> str:
+        return " + ".join(f"{vec}[{i + 1}]::DOUBLE * {float(c)!r}" for i, c in enumerate(row))
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN 0.0 + {dot_chain(vec, row)} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, row in enumerate(planes)
+        )
+
+    pair_dot = " + ".join(f"e.embedding[{i + 1}]::DOUBLE * q.qv[{i + 1}]::DOUBLE"
+                          for i in range(ANN_DIM))
+    nrm = lambda pfx: "sqrt(0.0 + " + " + ".join(
+        f"{pfx}[{i + 1}]::DOUBLE * {pfx}[{i + 1}]::DOUBLE" for i in range(ANN_DIM)) + ")"
+    probes = ", ".join(str(1 << j) for j in range(ANN_BITS))
+    return f"""WITH
+c AS (SELECT vec_id, embedding, ({bucket_expr('embedding')})::INT AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS qid, embedding AS qv,
+              ({bucket_expr('embedding')})::INT AS qbucket
+       FROM embeddings WHERE vec_id < {ANN_NQ}),
+q AS (SELECT qid, qv, xor(qbucket, flip)::INT AS bucket
+      FROM q0, unnest([0, {probes}]) t(flip)),
+scored AS (
+    SELECT q.qid::VARCHAR AS qid, e.vec_id,
+           (0.0 + {pair_dot}) / ({nrm('e.embedding')} * {nrm('q.qv')}) AS cos
+    FROM c e JOIN q ON e.bucket = q.bucket
+)
+SELECT qid, vec_id::BIGINT AS vec_id, round(cos, 6) AS cos, (rnk - 1)::INT AS rank
+FROM (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {ANN_K}
+"""
+
+
+_ROWS_PER_BAND = max(1, MINHASHES // 4)
+ORACLE_MINHASH_LSH = f"""WITH {_SQL_DOCTOKS},
+mh AS (
+    SELECT s.doc_id, j,
+           min(('0x' || substr(md5(j::VARCHAR || ':' || s.shingle), 1, 15))::BIGINT) AS minhash
+    FROM dshingle s, unnest(range(0, {MINHASHES})) t(j)
+    GROUP BY s.doc_id, j
+),
+bands AS (
+    SELECT doc_id, (j // {_ROWS_PER_BAND}) AS band,
+           string_agg(minhash::VARCHAR, '_' ORDER BY j) AS sig
+    FROM mh GROUP BY doc_id, (j // {_ROWS_PER_BAND})
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dshingle GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM cand c
+    JOIN dshingle a ON a.doc_id = c.id_a
+    JOIN dshingle b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
 
 
 PIPELINE_QUERIES = {
@@ -293,5 +378,6 @@ PIPELINE_ORACLES = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "media_meta": ORACLE_MEDIA_META,
     "ann_cosine_topk": ORACLE_ANN,
-    # lsh_ann_topk, minhash_lsh_pairs: approximate -> rows-only + pytest recall
+    "lsh_ann_topk": _lsh_ann_oracle(),
+    "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
 }

@@ -277,6 +277,34 @@ def q_bm25_topk_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+_QUANTIZED: dict[str, object] = {}
+
+
+def q_bm25_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """precompute_impact (reference B9, ``__init__.py:223,449``): BM25
+    partials linearly quantized to 8-bit impacts folded INTO the index;
+    retrieval is the integer dot product (quantized scorer) through the
+    batch kernel. Integer-exact vs the DuckDB oracle implementing the same
+    quantization arithmetic."""
+    import tempfile
+
+    from ..operators.wand import retrieve_blockmax_batch
+    from ..sources.index_store import load_index, quantize_index
+
+    if sf_dir not in _QUANTIZED:
+        src = _persisted(spark, sf_dir)
+        qpath = tempfile.mkdtemp(prefix="ppisa_qidx_") + "/idx"
+        quantize_index(src, qpath, scorer="bm25", bits=8)
+        _QUANTIZED[sf_dir] = load_index(spark, qpath)
+    idx = _QUANTIZED[sf_dir]
+    res = retrieve_blockmax_batch(idx, QUERIES, k=TOPK_K, scorer="quantized",
+                                  stopwords="none", include_query=False,
+                                  cast_float32=False)
+    return res.select("qid", F.col("docid").alias("doc_id"),
+                      F.col("score").cast("long").alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_bm25_topk_terrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as bm25_topk_stop but with the vendored 733-word Terrier list —
     the reference's DEFAULT stopword behavior (``__init__.py:120``,
@@ -459,6 +487,35 @@ ORACLES["dph_topk_blockmax"] = ORACLES["dph_topk"]
 ORACLES["pl2_topk_blockmax"] = ORACLES["pl2_topk"]
 ORACLES["qld_topk_blockmax"] = ORACLES["qld_topk"]
 
+# precompute_impact: same quantization arithmetic as quantize_index
+# (impact = max(1, ceil(partial / global_max * 255)); integer-exact scores)
+_SQL_BM25_PARTIAL = (
+    "greatest(1.0e-6, ln((s.num_docs - l.df + 0.5) / (l.df + 0.5)))"
+    " * 1.9 * t.tf / (t.tf + 0.9 * (1 - 0.4 + 0.4 * d.doclen / s.avg_doclen))"
+)
+ORACLES["bm25_impact_topk"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS},
+partials AS (
+    SELECT t.doc_id, t.term, {_SQL_BM25_PARTIAL} AS partial
+    FROM tf t JOIN lex l ON l.term = t.term JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN stats s
+),
+gmax AS (SELECT max(partial) AS m FROM partials),
+impacts AS (
+    SELECT doc_id, term,
+           greatest(1, ceil(partial / (SELECT m FROM gmax) * 255))::BIGINT AS impact
+    FROM partials
+),
+qscored AS (
+    SELECT q.qid, i.doc_id, sum(i.impact * q.qweight)::BIGINT AS score
+    FROM qterms q JOIN impacts i ON i.term = q.term
+    GROUP BY q.qid, i.doc_id
+)
+SELECT qid, doc_id, score, (rnk - 1)::INT AS rank FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM qscored
+) WHERE rnk <= {TOPK_K}"""
+
 
 from ..functions.stopwords import LUCENE as _LUCENE
 from ..functions.stopwords import TERRIER as _TERRIER
@@ -521,6 +578,7 @@ IR_QUERIES = {
     "pl2_topk_blockmax": q_pl2_topk_blockmax,
     "qld_topk_blockmax": q_qld_topk_blockmax,
     "quantized_dot": q_quantized_dot,
+    "bm25_impact_topk": q_bm25_impact_topk,
     "bm25_topk_stop": q_bm25_topk_stop,
     "bm25_topk_terrier": q_bm25_topk_terrier,
     "events_windowed": q_events_windowed,

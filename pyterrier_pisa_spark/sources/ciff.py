@@ -35,6 +35,11 @@ from pyspark.sql import SparkSession
 # ----------------------------------------------------------- wire primitives
 
 def _write_varint(out: bytearray, v: int) -> None:
+    if v < 0:
+        # negative values would loop forever under >>= 7; reachable from
+        # encode_postings_list if caller-supplied docids are not strictly
+        # ascending (negative gap) — fail loudly instead
+        raise ValueError(f"varint value must be non-negative, got {v}")
     while True:
         b = v & 0x7F
         v >>= 7
@@ -277,45 +282,82 @@ def export_ciff(index, out_path: str, description: str = "pyterrier_pisa_spark")
 
 def import_ciff(spark: SparkSession, ciff_path: str, index_path: str,
                 batch_rows: int = 500_000, **build_kwargs) -> dict:
-    """CIFF file -> persisted index. Parses driver-side in bounded batches
-    into the tf/docmap shard tables, then reuses build phases 2-4 (the same
-    protocol streaming compaction uses)."""
+    """CIFF file -> persisted index. The sequential file is parsed
+    driver-side (CIFF is single-stream by design), but NOTHING accumulates on
+    the driver: postings flush to ``tf_raw/`` parquet shards and doc records
+    to ``docmap/`` shards every ``batch_rows`` rows, so driver memory stays
+    O(batch_rows) for an arbitrarily large CIFF. Doc lengths are then
+    attached to the postings with ONE distributed join (tf_raw ⋈ docmap),
+    and build phases 2-4 rebuild lexicon/blocks/maxscore — an imported index
+    is indistinguishable from a built one."""
+    import shutil
+
     import pandas as pd
 
     from .index_store import _commit_phase, build_index
 
     os.makedirs(index_path, exist_ok=True)
+    tf_raw_dir = os.path.join(index_path, "tf_raw")
+    docmap_dir = os.path.join(index_path, "docmap")
+    for d in (tf_raw_dir, docmap_dir, os.path.join(index_path, "tf")):
+        shutil.rmtree(d, ignore_errors=True)
+
+    TF_SCHEMA = "docid long, term string, tf long"
+    DOC_SCHEMA = "docid long, docno string, doclen long, content_sha256 string"
+
+    def _flush(rows, schema, out_dir, mode):
+        pdf = pd.DataFrame(rows)
+        spark.createDataFrame(pdf if len(rows) else [], schema=schema).write.mode(
+            mode).parquet(out_dir)
+
+    n_lists, n_tf, n_docs = 0, 0, 0
+    tf_mode, doc_mode = "overwrite", "overwrite"
     tf_rows: list[tuple] = []
     doc_rows: list[tuple] = []
-    doclens: dict[int, int] = {}
-    n_lists = 0
-
     with open(ciff_path, "rb") as fh:
-        header = CiffHeader.decode(_read_delimited(fh))
+        hdr_buf = _read_delimited(fh)
+        if hdr_buf is None:
+            raise ValueError(f"not a CIFF file (empty or truncated header): {ciff_path}")
+        header = CiffHeader.decode(hdr_buf)
         for _ in range(header.num_postings_lists):
-            term, df, cf, docids, tfs = decode_postings_list(_read_delimited(fh))
+            buf = _read_delimited(fh)
+            if buf is None:
+                raise ValueError(f"truncated CIFF: expected {header.num_postings_lists} "
+                                 f"postings lists, got {n_lists}")
+            term, df, cf, docids, tfs = decode_postings_list(buf)
             n_lists += 1
             for d, t in zip(docids, tfs):
                 tf_rows.append((d, term, t))
+            if len(tf_rows) >= batch_rows:
+                _flush(tf_rows, TF_SCHEMA, tf_raw_dir, tf_mode)
+                n_tf += len(tf_rows)
+                tf_rows, tf_mode = [], "append"
         for _ in range(header.num_docs):
-            docid, docno, dl = decode_doc_record(_read_delimited(fh))
-            doc_rows.append((docid, docno, dl))
-            doclens[docid] = dl
+            buf = _read_delimited(fh)
+            if buf is None:
+                raise ValueError(f"truncated CIFF: expected {header.num_docs} "
+                                 f"doc records, got {n_docs}")
+            docid, docno, dl = decode_doc_record(buf)
+            doc_rows.append((docid, docno, dl, None))
+            n_docs += 1
+            if len(doc_rows) >= batch_rows:
+                _flush(doc_rows, DOC_SCHEMA, docmap_dir, doc_mode)
+                doc_rows, doc_mode = [], "append"
+    _flush(tf_rows, TF_SCHEMA, tf_raw_dir, tf_mode)
+    n_tf += len(tf_rows)
+    _flush(doc_rows, DOC_SCHEMA, docmap_dir, doc_mode)
 
-    def _flush_tf(rows, mode):
-        pdf = pd.DataFrame(rows, columns=["docid", "term", "tf"])
-        pdf["doclen"] = pdf["docid"].map(doclens).fillna(0).astype("int64")
-        spark.createDataFrame(pdf).write.mode(mode).parquet(os.path.join(index_path, "tf"))
+    # doclen attach: one distributed join, not a driver-side dict
+    from pyspark.sql import functions as F
 
-    for i in range(0, max(len(tf_rows), 1), batch_rows):
-        _flush_tf(tf_rows[i:i + batch_rows] or [], "overwrite" if i == 0 else "append")
-    docmap_pdf = pd.DataFrame(doc_rows, columns=["docid", "docno", "doclen"])
-    docmap_pdf["content_sha256"] = None
-    spark.createDataFrame(docmap_pdf).write.mode("overwrite").parquet(
-        os.path.join(index_path, "docmap"))
+    tf_raw = spark.read.parquet(tf_raw_dir)
+    docmap = spark.read.parquet(docmap_dir).select("docid", "doclen")
+    tf_raw.join(docmap, "docid").select("docid", "term", "tf", "doclen").write.mode(
+        "overwrite").parquet(os.path.join(index_path, "tf"))
+    shutil.rmtree(tf_raw_dir, ignore_errors=True)
 
     _commit_phase(index_path, "tf", {
-        "num_docs": int(header.num_docs), "tf_rows": len(tf_rows), "imported_ciff": ciff_path,
+        "num_docs": int(header.num_docs), "tf_rows": n_tf, "imported_ciff": ciff_path,
     })
     empty = spark.createDataFrame([], schema="docno string, content string")
     meta = build_index(empty, index_path, mode="resume", **build_kwargs)

@@ -79,12 +79,28 @@ def _commit_phase(path: str, name: str, payload: dict) -> None:
 
 
 def _append_metrics(spark: SparkSession, path: str, phase: str, rows: list[tuple]) -> None:
-    df = spark.createDataFrame(
-        rows, schema="phase string, partition_id long, docs long, postings long, bytes long, ts double"
-    )
-    # no coalesce(1): on a local-relation source it forces a slow RDD path
-    # (~4s); a tiny multi-file metrics dir is harmless
-    df.write.mode("append").parquet(os.path.join(path, "metrics"))
+    """Append lineage/counter rows to the metrics table. Written DRIVER-SIDE
+    with pyarrow (the rows are a handful of counters): a Spark job per phase
+    just to persist <10 rows is pure serial overhead — it was costing ~1s per
+    phase of the build's non-parallelizable fraction. The output is normal
+    parquet in the same directory, fully readable as one Spark/DuckDB table."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    table = pa.table({
+        "phase": pa.array(cols[0], pa.string()),
+        "partition_id": pa.array(cols[1], pa.int64()),
+        "docs": pa.array(cols[2], pa.int64()),
+        "postings": pa.array(cols[3], pa.int64()),
+        "bytes": pa.array(cols[4], pa.int64()),
+        "ts": pa.array(cols[5], pa.float64()),
+    })
+    mdir = os.path.join(path, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    pq.write_table(table, os.path.join(mdir, f"part-{phase}-{uuid.uuid4().hex[:8]}.parquet"))
 
 
 def _pack_block_pdf(rows: list[tuple]) -> pd.DataFrame:
@@ -146,6 +162,8 @@ def build_index(
     # ``__init__.py:371-390``) for free.
     np_ = num_partitions or spark.sparkContext.defaultParallelism
     if not _phase_done(path, "tf"):
+        from pyspark.sql import Observation
+
         # small inputs arrive in few parquet splits (maxPartitionBytes); the
         # tokenize UDF stage must span the full parallelism regardless
         if corpus.rdd.getNumPartitions() < np_:
@@ -153,25 +171,31 @@ def build_index(
         prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col,
                                   num_partitions=num_partitions)
         fwd = _toks_fwd(prepared, scale) if pretokenized else _text_fwd(prepared, stemmer)
+        # stats ride the WRITE job via Observation — no separate re-scan job
+        # (distinct-count is not observable; that gate runs below on the
+        # single pruned docid column)
+        obs = Observation("fwd_stats")
+        fwd = fwd.observe(obs, F.count(F.lit(1)).alias("ndocs"),
+                          F.min("docid").alias("mn"), F.max("docid").alias("mx"),
+                          F.sum(F.size("terms")).alias("nterms"),
+                          F.sum("doclen").alias("total_dl"))
         fwd.write.mode("overwrite").parquet(os.path.join(path, "fwd"))
+        agg = obs.get
         fwd_r = spark.read.parquet(os.path.join(path, "fwd"))
-        # one agg: stats + the hard gate on docid assignment (dense when we
-        # assigned, unique when the caller supplied an id column)
-        agg = fwd_r.agg(
-            F.count("*").alias("ndocs"),
-            F.countDistinct("docid").alias("nd"),
-            F.min("docid").alias("mn"), F.max("docid").alias("mx"),
-            F.sum(F.size("terms")).alias("nterms"),
-        ).collect()[0]
         ndocs, nposts = agg["ndocs"], int(agg["nterms"] or 0)
-        dense_ok = agg["nd"] == ndocs and (id_col is not None or
-                                           (agg["mn"] == 0 and agg["mx"] == ndocs - 1))
+        # the hard gate on docid assignment (dense when we assigned, unique
+        # when the caller supplied an id column): one column-pruned agg
+        nd = fwd_r.agg(F.countDistinct("docid").alias("nd")).collect()[0]["nd"]
+        dense_ok = nd == ndocs and (id_col is not None or
+                                    (agg["mn"] == 0 and agg["mx"] == ndocs - 1))
         if ndocs and not dense_ok:
             raise AssertionError(
-                f"docid assignment corrupted: n={ndocs} distinct={agg['nd']} "
+                f"docid assignment corrupted: n={ndocs} distinct={nd} "
                 f"min={agg['mn']} max={agg['mx']}")
         _append_metrics(spark, path, "tf", [("tf", -1, ndocs, nposts, 0, time.time())])
-        _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts, "sec": time.time() - t0})
+        _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts,
+                                   "total_doclen": int(agg["total_dl"] or 0),
+                                   "sec": time.time() - t0})
 
     if os.path.exists(os.path.join(path, "fwd")):
         fwd = spark.read.parquet(os.path.join(path, "fwd"))
@@ -191,9 +215,18 @@ def build_index(
         lexicon = B.build_lexicon(tf, num_partitions)
         lexicon.write.mode("overwrite").parquet(os.path.join(path, "lexicon"))
         lex_r = spark.read.parquet(os.path.join(path, "lexicon"))
-        B.validate_dense_ids(lex_r, "term_id")  # agg doubles as the count
-        stats = B.collection_stats(docmap)
-        stats["num_terms"] = lex_r.count()  # parquet metadata-only count
+        # collection stats rode the phase-1 write's Observation when this
+        # build ran phase 1 (batch path); streaming/CIFF ingest markers lack
+        # them -> one agg over docmap as the fallback
+        tfm = json.load(open(_marker(path, "tf"))) if _phase_done(path, "tf") else {}
+        if "total_doclen" in tfm:
+            nd, tot = int(tfm["num_docs"]), int(tfm["total_doclen"])
+            stats = {"num_docs": nd, "total_doclen": tot,
+                     "avg_doclen": (tot / nd) if nd else 0.0}
+        else:
+            stats = B.collection_stats(docmap)
+        # the validate agg doubles as the term count (one job, not two)
+        stats["num_terms"] = B.validate_dense_ids(lex_r, "term_id")
         _append_metrics(spark, path, "lexicon",
                         [("lexicon", -1, stats["num_docs"], stats["num_terms"], 0, time.time())])
         _commit_phase(path, "lexicon", {"stats": stats, "sec": time.time() - t1})
@@ -204,12 +237,8 @@ def build_index(
     # ---------------------------------------------------- phase 3: postings
     if not _phase_done(path, "postings"):
         t1 = time.time()
-        _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
-                        num_partitions)
-        pc = spark.read.parquet(os.path.join(path, "postings"))
-        agg = pc.agg(F.count("*").alias("blocks"), F.sum("count").alias("postings"),
-                     (F.sum(F.length("docids_delta")) + F.sum(F.length("tfs"))
-                      + F.sum(F.length("doclens"))).alias("bytes")).collect()[0]
+        agg = _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b,
+                              chunk_span, num_partitions)
         _append_metrics(spark, path, "postings",
                         [("postings", -1, agg["blocks"], agg["postings"] or 0, agg["bytes"] or 0, time.time())])
         _commit_phase(path, "postings", {"blocks": agg["blocks"], "postings": int(agg["postings"] or 0),
@@ -297,7 +326,7 @@ def _fwd_to_tf(fwd: DataFrame) -> DataFrame:
 
 
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
-                    num_partitions) -> None:
+                    num_partitions) -> dict:
     """The invert: ONE posting-granularity shuffle, then streaming vectorized
     block packing — with CHUNK-LOCAL blocks.
 
@@ -407,11 +436,107 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
                 carry["doclen"].to_numpy(), carry["df"].to_numpy(),
             )
 
+    from pyspark.sql import Observation
+
     out = runs.mapInPandas(_chunks_to_blocks, schema=POSTINGS_SCHEMA)
-    out = out.repartitionByRange(np_, "term_id", "block_id").sortWithinPartitions(
-        "term_id", "block_id"
-    )
+    # NO re-partitioning before the write: the kernel's output is already
+    # sorted by (term_id, block_id) within each (term_id, chunk)-hashed
+    # partition (the invert's sortWithinPartitions order is preserved), so
+    # every parquet ROW GROUP carries tight term_id min/max stats and the
+    # query-time term_id filter prunes at row-group granularity. A
+    # repartitionByRange here would add a range-sampling pass that EXECUTES
+    # THE ENTIRE INVERT A SECOND TIME (the sampler's input is this pipeline)
+    # for only marginally better file-level pruning.
+    # block/posting/byte counters ride the write job (Observation) instead of
+    # a full re-scan of the just-written binary columns
+    obs = Observation("postings_stats")
+    out = out.observe(obs, F.count(F.lit(1)).alias("blocks"),
+                      F.sum("count").alias("postings"),
+                      (F.sum(F.length("docids_delta")) + F.sum(F.length("tfs"))
+                       + F.sum(F.length("doclens"))).alias("bytes"))
     out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    m = obs.get
+    return {"blocks": int(m["blocks"] or 0), "postings": int(m["postings"] or 0),
+            "bytes": int(m["bytes"] or 0)}
+
+
+def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
+                   bits: int = 8, k1: float | None = None, b: float | None = None,
+                   mu: float = 1000.0, c: float = 1.0) -> dict:
+    """``precompute_impact`` (reference B9, ``__init__.py:223,449`` +
+    ``_pisathon.cpp:236-264``): fold the scorer into the index as quantized
+    integer impacts, so query time is a pure integer dot product (the
+    ``quantized`` scorer) — faster and smaller than runtime float scoring.
+
+    Linear quantization against the collection-wide max partial (PISA's
+    LinearQuantizer semantics, default 8 bits):
+
+        impact(s) = max(1, ceil(s / global_max * (2^bits - 1)))
+
+    One mapInPandas pass over the packed blocks (decode tf/doclen -> partial
+    -> impact -> re-encode; embarrassingly parallel, no shuffle except the
+    small term-stats agg); docmap/lexicon are copied through. The result is
+    a normal persisted index whose meta records the quantization lineage."""
+    import shutil
+
+    spark = index.docmap.sparkSession
+    meta = index.meta
+    k1 = meta["scorer"]["k1"] if k1 is None else k1
+    b = meta["scorer"]["b"] if b is None else b
+    partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
+    stat_col = S.term_stat_col(scorer)
+
+    ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
+    gmax = float(ts.agg(F.max("max_score")).collect()[0][0])
+    if not (gmax > 0):
+        raise ValueError(f"cannot quantize: global max {scorer} partial is {gmax}")
+    levels = float((1 << bits) - 1)
+
+    os.makedirs(dst_path, exist_ok=True)
+    for sub in ("docmap", "fwd", "lexicon"):
+        srcd = os.path.join(index.path, sub)
+        if os.path.exists(srcd):
+            shutil.copytree(srcd, os.path.join(dst_path, sub), dirs_exist_ok=True)
+
+    stats_map = F.broadcast(index.lexicon.select("term_id", F.col(stat_col).alias("stat")))
+    blocks = index.blocks.join(stats_map, "term_id")
+
+    def _quantize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_tfs, out_bmax = [], np.empty(len(pdf), dtype=np.float64)
+            for i, (cnt, tb, lb, st) in enumerate(zip(
+                    pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
+                t = varint_decode(tb, int(cnt)).astype(np.float64)
+                dl = varint_decode(lb, int(cnt)).astype(np.float64)
+                p = partial(t, dl, float(st))
+                imp = np.maximum(1.0, np.ceil(p / gmax * levels)).astype(np.uint64)
+                out_tfs.append(varint_encode(imp))
+                out_bmax[i] = float(imp.max())
+            res = pdf[["term_id", "block_id", "count", "docid_first", "docid_last",
+                       "docids_delta", "doclens"]].copy()
+            res["tfs"] = out_tfs
+            res["block_max_score"] = out_bmax
+            yield res[["term_id", "block_id", "count", "docid_first", "docid_last",
+                       "block_max_score", "docids_delta", "tfs", "doclens"]]
+
+    out = blocks.mapInPandas(_quantize, schema=POSTINGS_SCHEMA)
+    out.write.mode("overwrite").parquet(os.path.join(dst_path, "postings"))
+    pc = spark.read.parquet(os.path.join(dst_path, "postings"))
+    term_stats = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_score"))
+    term_stats.write.mode("overwrite").parquet(os.path.join(dst_path, "term_stats"))
+
+    for name in ("tf", "lexicon", "postings", "maxscore"):
+        if _phase_done(index.path, name):
+            _commit_phase(dst_path, name, json.load(open(_marker(index.path, name))))
+    new_meta = dict(meta)
+    new_meta["scorer"] = {"name": "quantized"}
+    new_meta["quantized_from"] = {"scorer": scorer, "bits": bits, "k1": k1, "b": b,
+                                  "mu": mu, "c": c, "global_max": gmax}
+    with open(os.path.join(dst_path, "meta.json"), "w") as fh:
+        json.dump(new_meta, fh, indent=1)
+    return new_meta
 
 
 def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
@@ -428,7 +553,12 @@ def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
     block rows (no shuffle before the term-level agg)."""
     spark = index.docmap.sparkSession
     meta = index.meta
-    if scorer == "bm25" and k1 == meta["scorer"]["k1"] and b == meta["scorer"]["b"]:
+    built = meta["scorer"].get("name", "bm25")
+    if scorer == "bm25" and built == "bm25" and k1 == meta["scorer"].get("k1") \
+            and b == meta["scorer"].get("b"):
+        return index.lexicon.select("term_id", "max_score")
+    if scorer == "quantized" and built == "quantized":
+        # a quantized index's stored term stats ARE the max impacts
         return index.lexicon.select("term_id", "max_score")
     key = S.scorer_cache_key(scorer, k1, b, mu, c)
     cache_dir = os.path.join(index.path, f"term_stats_{key}")

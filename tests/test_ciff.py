@@ -76,3 +76,58 @@ def test_ciff_index_roundtrip(spark, tmp_path):
     assert r1["docid"].tolist() == r2["docid"].tolist()
     assert r1["docno"].tolist() == r2["docno"].tolist()
     np.testing.assert_allclose(r1["score"], r2["score"], rtol=1e-6)
+
+
+def test_write_varint_rejects_negative():
+    from pyterrier_pisa_spark.sources.ciff import _write_varint
+
+    with pytest.raises(ValueError, match="non-negative"):
+        _write_varint(bytearray(), -1)
+    # reachable path: non-ascending docids -> negative gap
+    with pytest.raises(ValueError):
+        encode_postings_list("t", 2, 2, [10, 3], [1, 1])
+
+
+def test_import_ciff_empty_file_raises(spark, tmp_path):
+    p = tmp_path / "empty.ciff"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError, match="empty or truncated header"):
+        import_ciff(spark, str(p), str(tmp_path / "idx"))
+
+
+def test_import_ciff_truncated_raises(spark, tmp_path):
+    from pyterrier_pisa_spark.sources.ciff import CiffHeader, _write_delimited
+
+    p = tmp_path / "trunc.ciff"
+    with open(p, "wb") as fh:
+        _write_delimited(fh, CiffHeader(num_postings_lists=5, num_docs=3).encode())
+        _write_delimited(fh, encode_postings_list("a", 1, 1, [0], [1]))
+    with pytest.raises(ValueError, match="truncated CIFF"):
+        import_ciff(spark, str(p), str(tmp_path / "idx"))
+
+
+def test_import_ciff_bounded_batches(spark, tmp_path):
+    """batch_rows smaller than the postings count forces multiple incremental
+    flushes — the driver-memory-bounded path — and must produce the same
+    index tables as a one-shot import."""
+    from pyterrier_pisa_spark.sources.ciff import CiffHeader, _write_delimited
+
+    p = tmp_path / "multi.ciff"
+    docs = [(0, "d0", 4), (1, "d1", 2), (2, "d2", 3)]
+    with open(p, "wb") as fh:
+        _write_delimited(fh, CiffHeader(
+            num_postings_lists=3, num_docs=3, total_postings_lists=3, total_docs=3,
+            total_terms_in_collection=9, average_doclength=3.0).encode())
+        _write_delimited(fh, encode_postings_list("aa", 2, 3, [0, 2], [2, 1]))
+        _write_delimited(fh, encode_postings_list("bb", 3, 4, [0, 1, 2], [1, 1, 2]))
+        _write_delimited(fh, encode_postings_list("cc", 2, 2, [0, 1], [1, 1]))
+        for d, dn, dl in docs:
+            _write_delimited(fh, encode_doc_record(d, dn, dl))
+    meta = import_ciff(spark, str(p), str(tmp_path / "idx"), batch_rows=2)
+    assert meta["stats"]["num_docs"] == 3
+    tf = spark.read.parquet(str(tmp_path / "idx" / "tf")).toPandas()
+    assert len(tf) == 7
+    got = {(r.docid, r.term): (r.tf, r.doclen) for r in tf.itertuples()}
+    assert got[(0, "aa")] == (2, 4)
+    assert got[(2, "bb")] == (2, 3)
+    assert got[(1, "cc")] == (1, 2)

@@ -170,3 +170,67 @@ def test_sha256_lineage_persisted(spark, index_path):
     j = idx.docmap.join(src, "docno")
     assert j.count() == N_DOCS
     assert j.filter(F.col("content_sha256") != F.col("expect")).count() == 0
+
+
+def test_quantize_index_precompute_impact(spark, tmp_path):
+    """precompute_impact (B9): quantized index's integer dot-product results
+    must equal hand-quantized BM25 over the flat postings (same linear
+    quantizer: max(1, ceil(partial / global_max * 255)))."""
+    import numpy as np
+
+    from pyterrier_pisa_spark.operators import score as S
+    from pyterrier_pisa_spark.operators.wand import retrieve_blockmax_batch
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import (build_index, load_index,
+                                                          quantize_index)
+
+    src = str(tmp_path / "src")
+    corpus = synth_code_corpus(spark, num_docs=300, seed=9)
+    build_index(corpus, src, stemmer="porter2", block_size=32, chunk_span=64,
+                mode="overwrite")
+    idx = load_index(spark, src)
+    dst = str(tmp_path / "qidx")
+    meta = quantize_index(idx, dst, scorer="bm25", bits=8)
+    assert meta["scorer"]["name"] == "quantized"
+    gmax = meta["quantized_from"]["global_max"]
+    qidx = load_index(spark, dst)
+
+    queries = [("q1", "parse index query"), ("q2", "def return")]
+    got = retrieve_blockmax_batch(qidx, queries, k=20, scorer="quantized",
+                                  include_query=False, cast_float32=False).toPandas()
+
+    # hand-computed expectation from the SOURCE index's flat postings
+    flat = idx.flat_tf().join(idx.lexicon.select("term_id", "term", "df"), "term_id").toPandas()
+    stats = idx.stats
+    part = S.np_partial_fn("bm25", stats, 0.9, 0.4)
+    flat["impact"] = np.maximum(1.0, np.ceil(
+        part(flat["tf"].to_numpy(np.float64), flat["doclen"].to_numpy(np.float64),
+             flat["df"].to_numpy(np.float64)) / gmax * 255.0)).astype(np.int64)
+    from pyterrier_pisa_spark.functions.porter2 import stem
+    for qid, qtext in queries:
+        terms = {stem(t) for t in qtext.split()}
+        sub = flat[flat["term"].isin(terms)]
+        exp = sub.groupby("docid")["impact"].sum().sort_values(ascending=False)
+        g = got[got["qid"] == qid].sort_values("rank")
+        kk = min(20, len(exp))
+        assert len(g) == kk
+        # scores must match exactly per docid (integer arithmetic)
+        exp_d = dict(exp)
+        for r in g.itertuples():
+            assert exp_d[r.docid] == int(r.score), (qid, r.docid)
+
+
+def test_quantize_index_rejects_empty(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import (build_index, load_index,
+                                                          quantize_index)
+
+    src = str(tmp_path / "srcq")
+    corpus = synth_code_corpus(spark, num_docs=50, seed=2)
+    build_index(corpus, src, stemmer="none", mode="overwrite")
+    idx = load_index(spark, src)
+    # valid index quantizes fine; degenerate gmax raises a clear error
+    meta = quantize_index(idx, str(tmp_path / "okq"))
+    assert meta["quantized_from"]["bits"] == 8

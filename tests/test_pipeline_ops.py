@@ -181,3 +181,47 @@ def test_resize_and_frames_shapes(spark, media):
     assert all(sorted(v) == [0, 1, 2] for v in per.values())
     au = audio_features(media, n_coeffs=8).collect()
     assert all(len(r["coeffs"]) == 8 and r["duration_s"] > 0 for r in au)
+
+
+def test_exact_jaccard_for_pairs_only_touches_pairs(spark, docs):
+    """Verification operator: output rows == input pair set exactly; values
+    agree with the full jaccard_pairs operator."""
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], schema="id_a long, id_b long")
+    out = DD.exact_jaccard_for_pairs(docs, pairs, "text", "doc_id", n=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert set(got) == {(0, 1), (0, 2), (3, 4)}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0,
+                                      max_shingle_df=None).collect()}
+    assert got[(0, 1)] == pytest.approx(full[(0, 1)])
+    assert got[(0, 2)] == pytest.approx(full[(0, 2)])
+    assert got[(3, 4)] == 0.0  # disjoint pair: jaccard 0, still emitted
+
+
+def test_minhash_dedup_plan_has_no_shingle_self_join(spark, docs):
+    """Plan-shape pin (round-1 verdict): verification must NOT contain the
+    quadratic shingle self-join (join condition on shingle equality with an
+    id '<' range predicate). The only '<' join in the plan is the LSH
+    candidate generation on band buckets."""
+    found = DD.minhash_dedup(docs, "text", "doc_id", n=3, bands=8, threshold=0.5)
+    plan = found._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    joins_with_lt = [ln for ln in plan.splitlines() if "Join" in ln and "<" in ln]
+    assert len(joins_with_lt) == 1, joins_with_lt  # LSH cand-gen only
+    assert "bucket" in joins_with_lt[0]
+    assert not re.search(r"Join .*shingle#\d+ = shingle#\d+.*<", plan)
+
+
+def test_jaccard_pairs_hot_shingle_guard_consistent(spark):
+    """max_shingle_df filters hot shingles from BOTH the intersection and the
+    set sizes (jaccard stays <= 1 and symmetric over the filtered space)."""
+    rows = [(i, "common words everywhere here unique%d token%d extra%d" % (i, i, i))
+            for i in range(8)]
+    rows += [(100, "common words everywhere here unique1 token1 extra1")]  # near-dup of 1
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = DD.jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0, max_shingle_df=5)
+    pdf = out.toPandas()
+    assert (pdf["jaccard"] <= 1.0).all()
+    d = {(r.id_a, r.id_b): r.jaccard for r in pdf.itertuples()}
+    assert d.get((1, 100)) == 1.0  # identical over the filtered shingle space

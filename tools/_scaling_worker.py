@@ -36,12 +36,20 @@ idx = load_index(spark, f"{tmp}/idx")
 vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(30).collect()]
 queries = [(f"q{i}", f"{vocab[i % 30]} {vocab[(i + 7) % 30]} {vocab[(i + 13) % 30]}")
            for i in range(nq)]
-retrieve_blockmax_batch(idx, queries[:8], k=1000, include_query=False).count()
+retrieve_blockmax_batch(idx, queries[:8], k=100, include_query=False).count()
 t0 = time.time()
-nres = retrieve_blockmax_batch(idx, queries, k=1000, include_query=False).count()
+nres = retrieve_blockmax_batch(idx, queries, k=100, include_query=False).count()
 query_sec = time.time() - t0
+phases = {}
+for name in ("tf", "lexicon", "postings", "maxscore"):
+    try:
+        phases[name] = round(json.load(open(f"{tmp}/idx/_phases/{name}.done"))["sec"], 2)
+    except Exception:
+        pass
+phases["other"] = round(build_sec - sum(phases.values()), 2)
 print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "build_docs_per_sec": round(ndocs / build_sec, 1),
+                  "build_phases": phases,
                   "query_sec": round(query_sec, 2),
                   "queries_per_sec": round(nq / query_sec, 1),
                   "ms_per_query": round(1000 * query_sec / nq, 2),

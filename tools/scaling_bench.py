@@ -58,12 +58,20 @@ idx = load_index(spark, f"{tmp}/idx")
 vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(30).collect()]
 queries = [(f"q{i}", f"{vocab[i % 30]} {vocab[(i + 7) % 30]} {vocab[(i + 13) % 30]}")
            for i in range(nq)]
-retrieve_blockmax_batch(idx, queries[:8], k=1000, include_query=False).count()
+retrieve_blockmax_batch(idx, queries[:8], k=100, include_query=False).count()
 t0 = time.time()
-nres = retrieve_blockmax_batch(idx, queries, k=1000, include_query=False).count()
+nres = retrieve_blockmax_batch(idx, queries, k=100, include_query=False).count()
 query_sec = time.time() - t0
+phases = {}
+for name in ("tf", "lexicon", "postings", "maxscore"):
+    try:
+        phases[name] = round(json.load(open(f"{tmp}/idx/_phases/{name}.done"))["sec"], 2)
+    except Exception:
+        pass
+phases["other"] = round(build_sec - sum(phases.values()), 2)
 print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "build_docs_per_sec": round(ndocs / build_sec, 1),
+                  "build_phases": phases,
                   "query_sec": round(query_sec, 2),
                   "queries_per_sec": round(nq / query_sec, 1),
                   "ms_per_query": round(1000 * query_sec / nq, 2),
@@ -88,15 +96,20 @@ def main() -> None:
         fh.write(WORKER)
 
     levels = [int(x) for x in args.levels.split(",")]
+    ncores = os.cpu_count() or 32
     results = {}
     for rep in range(args.repeats):
         for cpus in levels:  # interleaved: host drift hits all levels equally
             # taskset pins the WHOLE worker (JVM shuffle/GC/compression
             # threads + python workers) to exactly `cpus` cores — local[N]
             # alone caps task slots but not JVM background threads, which
-            # silently inflates the small-N baseline
-            cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, script,
-                   str(cpus), str(args.docs), str(args.queries)]
+            # silently inflates the small-N baseline. The core RANGE rotates
+            # per repeat: on a shared host some core ranges are contended by
+            # other tenants, and best-of over rotated placements rejects that
+            # noise instead of folding it into the efficiency number.
+            offset = (rep * 8) % max(1, ncores - cpus + 1)
+            cmd = ["taskset", "-c", f"{offset}-{offset + cpus - 1}", sys.executable,
+                   script, str(cpus), str(args.docs), str(args.queries)]
             env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                        MKL_NUM_THREADS="1")
             out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
