@@ -113,6 +113,20 @@ def main() -> None:
     timings["bm25_exhaustive_batch"] = time.time() - t0
     extra["exhaustive_rows"] = n_res2
 
+    # ---- 3b. precompute_impact: quantize once, then integer dot-product batch
+    from pyterrier_pisa_spark.sources.index_store import quantize_index
+
+    t0 = time.time()
+    quantize_index(idx, f"{tmp}/docs_qidx", scorer="bm25", bits=8)
+    timings["quantize_index"] = time.time() - t0
+    qidx = load_index(spark, f"{tmp}/docs_qidx")
+    t0 = time.time()
+    n_res_q = retrieve_blockmax_batch(qidx, queries, k=K, scorer="quantized",
+                                      include_query=False).count()
+    timings["bm25_impact_batch"] = time.time() - t0
+    extra["impact_ms_per_query"] = round(1000 * timings["bm25_impact_batch"] / len(queries), 2)
+    extra["impact_rows"] = n_res_q
+
     # ---- 4. synthetic source-code corpus build (porter2, bigger)
     synth = synth_code_corpus(spark, num_docs=N_SYNTH, seed=11)
     t0 = time.time()

@@ -72,6 +72,11 @@ def cmd_retrieve(args) -> int:
     if args.algorithm in ("block_max_wand", "maxscore", "wand"):
         res = retrieve_blockmax(idx, queries, k=args.k, stopwords=args.stopwords,
                                 include_query=False)
+    elif args.algorithm == "batch":
+        from .operators.wand import retrieve_blockmax_batch
+
+        res = retrieve_blockmax_batch(idx, queries, k=args.k, stopwords=args.stopwords,
+                                      include_query=False)
     elif args.algorithm in ("ranked_or", "ranked_and"):
         res = retrieve(idx.as_logical(), queries, k=args.k, stopwords=args.stopwords,
                        mode=args.algorithm, include_query=False)
@@ -118,8 +123,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("index_dir")
     p.add_argument("--queries", required=True, help="TSV qid<TAB>query")
     p.add_argument("--k", type=int, default=1000)
-    p.add_argument("--algorithm", default="block_max_wand")
-    p.add_argument("--stopwords", default="none")
+    p.add_argument("--algorithm", default="block_max_wand",
+                   choices=["block_max_wand", "maxscore", "wand", "batch",
+                            "ranked_or", "ranked_and"])
+    p.add_argument("--stopwords", default="terrier",
+                   help="query-time stop list: terrier (reference default), lucene, none")
     p.add_argument("--trec", action="store_true", help="TREC run output format")
     p.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
     p.set_defaults(fn=cmd_retrieve)

@@ -645,6 +645,44 @@ def _load_docmap(spark: SparkSession, path: str) -> DataFrame:
         "docid", "docno", "doclen", "content_sha256")
 
 
+DATASET_REGISTRY_ENV = "PYTERRIER_PISA_SPARK_DATASETS"
+_DEFAULT_REGISTRY = os.path.expanduser("~/.pyterrier_pisa_spark/datasets")
+
+
+def _registry_file(registry_dir: str | None) -> str:
+    d = registry_dir or os.environ.get(DATASET_REGISTRY_ENV) or _DEFAULT_REGISTRY
+    return os.path.join(d, "registry.json")
+
+
+def register_dataset(name: str, path: str, registry_dir: str | None = None) -> None:
+    """Register a built index under a dataset name (reference S8
+    ``from_dataset`` / ``pta.Artifact``, ``__init__.py:128,311-313`` —
+    re-expressed as a local catalog: name -> index path in a JSON registry,
+    the sandbox-appropriate stand-in for a remote artifact store)."""
+    reg = _registry_file(registry_dir)
+    os.makedirs(os.path.dirname(reg), exist_ok=True)
+    entries = json.load(open(reg)) if os.path.exists(reg) else {}
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        raise FileNotFoundError(f"no index at {path} (meta.json missing)")
+    entries[name] = os.path.abspath(path)
+    tmp = reg + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh, indent=1)
+    os.replace(tmp, reg)
+
+
+def from_dataset(spark: SparkSession, name: str,
+                 registry_dir: str | None = None) -> "PersistedIndex":
+    """Load a registered index by dataset name (reference ``from_dataset``)."""
+    reg = _registry_file(registry_dir)
+    entries = json.load(open(reg)) if os.path.exists(reg) else {}
+    if name not in entries:
+        known = ", ".join(sorted(entries)) or "<none>"
+        raise KeyError(f"dataset {name!r} not registered (known: {known}); "
+                       f"register with register_dataset(name, path)")
+    return load_index(spark, entries[name])
+
+
 def load_index(spark: SparkSession, path: str) -> PersistedIndex:
     meta = json.load(open(os.path.join(path, "meta.json")))
     lexicon = spark.read.parquet(os.path.join(path, "lexicon"))

@@ -234,3 +234,24 @@ def test_quantize_index_rejects_empty(spark, tmp_path):
     # valid index quantizes fine; degenerate gmax raises a clear error
     meta = quantize_index(idx, str(tmp_path / "okq"))
     assert meta["quantized_from"]["bits"] == 8
+
+
+def test_dataset_registry_roundtrip(spark, tmp_path):
+    """S8: register a built index under a name, load it back by name."""
+    import pytest as _pytest
+
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import (build_index, from_dataset,
+                                                          register_dataset)
+
+    path = str(tmp_path / "regidx")
+    corpus = synth_code_corpus(spark, num_docs=60, seed=4)
+    build_index(corpus, path, stemmer="none", mode="overwrite")
+    reg = str(tmp_path / "registry")
+    register_dataset("unit/regidx", path, registry_dir=reg)
+    idx = from_dataset(spark, "unit/regidx", registry_dir=reg)
+    assert idx.num_docs() == 60
+    with _pytest.raises(KeyError, match="not registered"):
+        from_dataset(spark, "nope", registry_dir=reg)
+    with _pytest.raises(FileNotFoundError):
+        register_dataset("bad", str(tmp_path / "missing"), registry_dir=reg)

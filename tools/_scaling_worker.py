@@ -5,7 +5,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling_{cpus}")
-    .config("spark.sql.shuffle.partitions", str(cpus))
+    .config("spark.sql.shuffle.partitions", str(4 * cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "24g")
     .config("spark.ui.enabled", "false")
@@ -29,7 +29,8 @@ corpus = synth_code_corpus(spark, num_docs=ndocs, seed=11)
 corpus.write.mode("overwrite").parquet(f"{tmp}/corpus")
 corpus = spark.read.parquet(f"{tmp}/corpus")
 t0 = time.time()
-build_index(corpus, f"{tmp}/idx", stemmer="porter2", mode="overwrite", chunk_span=2048)
+build_index(corpus, f"{tmp}/idx", stemmer="porter2", mode="overwrite", chunk_span=2048,
+            num_partitions=4 * cpus)
 build_sec = time.time() - t0
 # ---- timed query batch (warm the index reads first)
 idx = load_index(spark, f"{tmp}/idx")
