@@ -78,18 +78,20 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
 
 
 def _taat_score(terms, by_term, partial, k, conjunctive, use_block_max):
-    """Shared TAAT core: terms = [(term_id, qweight, stat, max_score)] sorted
-    by max_score desc, over per-term block frames -> (docids, scores) —
-    exact: only docs provably outside any possible top-k are skipped.
+    """Shared TAAT core: terms = [(term_id, qweight, stat, max_score,
+    block_scale)] sorted by max_score desc, over per-term block frames ->
+    (docids, scores) — exact: only docs provably outside any possible top-k
+    are skipped.
 
     ``partial(tf, dl, stat)`` is the scorer's vectorized per-posting partial.
-    ``use_block_max``: trust the stored per-block max (only valid when the
-    index's build scorer/params match); otherwise bound each block by the
+    ``use_block_max``: trust block_scale * stored per-block max as the block
+    bound (block_scale reconstructs the absolute bound — idf for 'bm25_rest'
+    indexes, 1.0 for 'absolute'); otherwise bound each block by the
     term-level max_score (max-score pruning)."""
     # per-term upper bounds clamped at 0: a doc unmatched by a remaining term
     # gains 0 from it, so negative maxima (possible for qld/pl2/dph) must not
     # lower the remaining-terms bound
-    ubs = np.array([max(0.0, qw * ms) for (_, qw, _, ms) in terms], dtype=np.float64)
+    ubs = np.array([max(0.0, qw * ms) for (_, qw, _, ms, _) in terms], dtype=np.float64)
     can_prune = not conjunctive
     rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
 
@@ -99,7 +101,7 @@ def _taat_score(terms, by_term, partial, k, conjunctive, use_block_max):
     nmatch_c = np.empty(0, dtype=np.int64)
     theta = -np.inf
 
-    for i, (tid, qw, st, ms) in enumerate(terms):
+    for i, (tid, qw, st, ms, bscale) in enumerate(terms):
         grp = by_term.get(int(tid))
         if grp is None:
             continue
@@ -109,7 +111,7 @@ def _taat_score(terms, by_term, partial, k, conjunctive, use_block_max):
                 lo = np.searchsorted(acc_d, row.docid_first, "left")
                 hi = np.searchsorted(acc_d, row.docid_last, "right")
                 acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
-                bound = row.block_max_score if use_block_max else ms
+                bound = bscale * row.block_max_score if use_block_max else ms
                 if qw * bound + max(acc_max, 0.0) + rest_ub[i] < theta:
                     continue
             d, tf, dl = _decode_posting_arrays(row)
@@ -212,7 +214,7 @@ def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
     ordering)."""
     tid_stat = {}
     for terms in qinfo.values():
-        for (tid, _qw, st, _ms) in terms:
+        for (tid, _qw, st, *_rest) in terms:
             tid_stat[int(tid)] = float(st)
     tid_list = sorted(tid_stat)
     tid_row = {tid: i for i, tid in enumerate(tid_list)}
@@ -222,7 +224,7 @@ def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
     Qw = np.zeros((len(qids), n_terms), dtype=np.float64)
     need = np.empty(len(qids), dtype=np.int32)
     for qi, qid in enumerate(qids):
-        for (tid, qw, _st, _ms) in qinfo[qid]:
+        for (tid, qw, *_rest) in qinfo[qid]:
             Qw[qi, tid_row[int(tid)]] = qw
         need[qi] = len(qinfo[qid]) if conjunctive else 1
     Qinc = (Qw != 0).astype(np.float64)
@@ -338,13 +340,6 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
         .select("qid", "term_id", "qweight", "stat", "ms")
         .collect()
     )
-    qinfo: dict[str, list] = {}
-    for r in matched:
-        qinfo.setdefault(r["qid"], []).append(
-            (int(r["term_id"]), float(r["qweight"]), float(r["stat"]), float(r["ms"]))
-        )
-    for qid in qinfo:
-        qinfo[qid].sort(key=lambda t: -t[3])
     partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
     # stored per-block maxima are trusted only when they were computed for
     # THIS (scorer, params): the build scorer (bm25 at build k1/b) or a
@@ -356,6 +351,27 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
          and k1 == meta["scorer"].get("k1") and b == meta["scorer"].get("b"))
         or (scorer == "quantized" and built == "quantized")
     )
+    # block_scale reconstructs the ABSOLUTE block bound from the stored max:
+    # 'bm25_rest' indexes store the df-independent rest factor -> scale by
+    # the term's clamped idf; 'absolute' (quantized / legacy) -> 1.0
+    rest_kind = use_block_max and meta.get("block_max_kind") == "bm25_rest"
+    num_docs = float(index.stats["num_docs"])
+
+    def _bscale(df_: float) -> float:
+        if not rest_kind:
+            return 1.0
+        import math
+        return max(S.IDF_EPS, math.log((num_docs - df_ + 0.5) / (df_ + 0.5)))
+
+    qinfo: dict[str, list] = {}
+    for r in matched:
+        df_ = float(r["stat"])
+        qinfo.setdefault(r["qid"], []).append(
+            (int(r["term_id"]), float(r["qweight"]), df_, float(r["ms"]),
+             _bscale(df_))
+        )
+    for qid in qinfo:
+        qinfo[qid].sort(key=lambda t: -t[3])
     return spark, qinfo, partial, use_block_max
 
 
@@ -420,7 +436,7 @@ def retrieve_blockmax(
 
     tid_qids: list[tuple[int, str]] = []
     for qid, terms in qinfo.items():
-        for (tid, _, _, _) in terms:
+        for (tid, *_rest) in terms:
             tid_qids.append((tid, qid))
     if not tid_qids:
         return _empty_result(spark)

@@ -248,7 +248,16 @@ def build_index(
     if not _phase_done(path, "maxscore"):
         t1 = time.time()
         pc = spark.read.parquet(os.path.join(path, "postings"))
-        term_stats = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_score"))
+        # stored block maxes are df-independent "rest" factors; the ABSOLUTE
+        # per-term BM25 bound = clamped idf * max rest (tiny agg + join)
+        max_rest = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_rest"))
+        idf = F.greatest(
+            F.lit(S.IDF_EPS),
+            F.log((F.lit(float(stats["num_docs"])) - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5))),
+        )
+        term_stats = max_rest.join(lexicon.select("term_id", "df"), "term_id").select(
+            "term_id", (idf * F.col("max_rest")).alias("max_score"))
         term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
         _commit_phase(path, "maxscore", {"sec": time.time() - t1})
 
@@ -270,6 +279,9 @@ def build_index(
         "scale": scale if pretokenized else None,
         "block_size": block_size,
         "chunk_span": chunk_span,
+        # per-block maxima store the df-independent rest factor; absolute
+        # bounds are reconstructed as idf * rest at query time
+        "block_max_kind": "bm25_rest",
         "scorer": {"name": "bm25", "k1": k1, "b": b},
         "stats": stats,
         "built_sec": time.time() - t0,
@@ -355,28 +367,40 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
     numpy passes (``reduceat`` maxima, segment varint encode); no per-posting
     or per-block Python.
     """
-    num_docs, avgdl = stats["num_docs"], stats["avg_doclen"]
+    avgdl = stats["avg_doclen"]
     np_ = num_partitions or spark.sparkContext.defaultParallelism
     blocks_per_chunk = chunk_span // block_size + 1
 
-    tf2 = tf.join(lexicon.select("term", "term_id", "df"), "term").select(
-        "term_id", "docid", "tf", "doclen", "df"
-    ).withColumn("chunk", (F.col("docid") / F.lit(chunk_span)).cast("long"))
-
-    runs = tf2.repartition(np_, "term_id", "chunk").sortWithinPartitions(
-        "term_id", "chunk", "docid"
+    # the shuffled posting row is as NARROW as possible — (term_id, docid,
+    # tf:int, doclen:int), ~24 bytes: df is NOT carried per posting (the
+    # stored block max is the df-independent "rest" factor, idf is applied
+    # at query time from the lexicon the kernels join anyway) and chunk is
+    # recomputed from docid after the exchange. At 10^12 postings this
+    # roughly halves the bytes through the build's only big shuffle.
+    chunk_expr = (F.col("docid") / F.lit(chunk_span)).cast("long")
+    tf2 = tf.join(lexicon.select("term", "term_id"), "term").select(
+        "term_id", "docid", F.col("tf").cast("int").alias("tf"),
+        F.col("doclen").cast("int").alias("doclen")
     )
 
-    def _pack_segments(tid, bid, dfs, seg_starts, seg_lengths, d, t, l):
-        """A batch of segments (each <= block_size) -> block rows, vectorized."""
+    runs = tf2.repartition(np_, F.col("term_id"), chunk_expr).sortWithinPartitions(
+        F.col("term_id"), chunk_expr, F.col("docid")
+    )
+
+    def _pack_segments(tid, bid, seg_starts, seg_lengths, d, t, l):
+        """A batch of segments (each <= block_size) -> block rows, vectorized.
+
+        block_max_score holds the scorer-INDEPENDENT-of-df "rest" factor
+            rest(tf, dl) = (k1+1)*tf / (tf + k1*(1-b + b*dl/avgdl))
+        (meta block_max_kind='bm25_rest'); the true BM25 block bound is
+        idf(df) * rest, reconstructed at query time (idf is per-term, known
+        to the kernels from the lexicon join)."""
         out_starts = np.concatenate(([0], np.cumsum(seg_lengths)))[:-1]
         idx = np.repeat(seg_starts - out_starts, seg_lengths) + np.arange(
             int(seg_lengths.sum()), dtype=np.int64
         )
         sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
-        df_rep = np.repeat(dfs.astype(np.float64), seg_lengths)
-        idf = np.maximum(S.IDF_EPS, np.log((num_docs - df_rep + 0.5) / (df_rep + 0.5)))
-        scores = idf * (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
+        scores = (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
         bmax = np.maximum.reduceat(scores, out_starts)
         ends = out_starts + seg_lengths - 1
         gaps = delta_encode_segments(sel_d, out_starts)
@@ -390,9 +414,10 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
             "doclens": varint_encode_segments(sel_l.astype(np.uint64), out_starts),
         })
 
-    def _process(term_id, chunk, docid, tf_, doclen, df_):
+    def _process(term_id, docid, tf_, doclen):
         """Complete contiguous (term_id, chunk) groups -> block rows."""
         n = len(docid)
+        chunk = docid // chunk_span
         grp_change = np.empty(n, dtype=bool)
         grp_change[0] = True
         np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1],
@@ -404,7 +429,7 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
         seg_starts = np.flatnonzero(seg_mask)
         seg_lengths = np.diff(seg_starts, append=n)
         bid = chunk[seg_starts] * blocks_per_chunk + local_rank[seg_starts] // block_size
-        return _pack_segments(term_id[seg_starts], bid, df_[seg_starts],
+        return _pack_segments(term_id[seg_starts], bid,
                               seg_starts, seg_lengths, docid, tf_, doclen)
 
     def _chunks_to_blocks(batches):
@@ -416,7 +441,7 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
             if not len(pdf):
                 continue
             tid = pdf["term_id"].to_numpy()
-            chk = pdf["chunk"].to_numpy()
+            chk = pdf["docid"].to_numpy() // chunk_span
             tail_mask = (tid == tid[-1]) & (chk == chk[-1])
             if tail_mask.all():
                 carry = pdf  # whole batch is one group: wait for its end
@@ -425,15 +450,15 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
             carry = pdf.iloc[last_group_start:]
             head = pdf.iloc[:last_group_start]
             yield _process(
-                head["term_id"].to_numpy(), head["chunk"].to_numpy(),
+                head["term_id"].to_numpy(),
                 head["docid"].to_numpy(), head["tf"].to_numpy(np.int64),
-                head["doclen"].to_numpy(), head["df"].to_numpy(),
+                head["doclen"].to_numpy(),
             )
         if carry is not None and len(carry):
             yield _process(
-                carry["term_id"].to_numpy(), carry["chunk"].to_numpy(),
+                carry["term_id"].to_numpy(),
                 carry["docid"].to_numpy(), carry["tf"].to_numpy(np.int64),
-                carry["doclen"].to_numpy(), carry["df"].to_numpy(),
+                carry["doclen"].to_numpy(),
             )
 
     from pyspark.sql import Observation
@@ -532,6 +557,7 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
             _commit_phase(dst_path, name, json.load(open(_marker(index.path, name))))
     new_meta = dict(meta)
     new_meta["scorer"] = {"name": "quantized"}
+    new_meta["block_max_kind"] = "absolute"  # stored maxes ARE max impacts
     new_meta["quantized_from"] = {"scorer": scorer, "bits": bits, "k1": k1, "b": b,
                                   "mu": mu, "c": c, "global_max": gmax}
     with open(os.path.join(dst_path, "meta.json"), "w") as fh:

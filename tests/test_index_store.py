@@ -90,12 +90,20 @@ def test_flat_tf_roundtrip_matches_logical(spark, index_path):
 
 
 def test_lexicon_maxscore_is_true_max(spark, index_path):
+    """Stored block maxes are df-independent REST factors
+    (block_max_kind='bm25_rest'); the lexicon's absolute max_score must equal
+    clamped_idf(df) * max(rest) per term."""
+    import math
+
     idx = load_index(spark, index_path)
+    assert idx.meta["block_max_kind"] == "bm25_rest"
+    n = idx.stats["num_docs"]
     blocks_max = idx.blocks.groupBy("term_id").agg(
         {"block_max_score": "max"}).withColumnRenamed("max(block_max_score)", "bmax")
     joined = idx.lexicon.join(blocks_max, "term_id").collect()
     for r in joined:
-        assert r["max_score"] == pytest.approx(r["bmax"], rel=1e-12)
+        idf = max(1e-6, math.log((n - r["df"] + 0.5) / (r["df"] + 0.5)))
+        assert r["max_score"] == pytest.approx(idf * r["bmax"], rel=1e-12)
 
 
 def test_blockmax_kernel_matches_exhaustive(spark, index_path):
