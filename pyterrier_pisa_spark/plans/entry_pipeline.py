@@ -354,6 +354,21 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 """
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN scale path: seeded deterministic k-means
+    coarse quantizer + nprobe search. Iterative Lloyd rounds are not
+    SQL-expressible (driver records the rows-only check); recall vs brute
+    force and run-to-run determinism are pytest-pinned
+    (tests/test_pipeline_ops.py::test_ivf_ann_recall_and_determinism)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    cents, assigned = SIM.ivf_build(emb, n_centroids=16, iters=2, seed=42, dim=ANN_DIM)
+    out = SIM.ivf_search(assigned, cents, queries, k=ANN_K, nprobe=4)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"), "cos",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 PIPELINE_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -365,6 +380,7 @@ PIPELINE_QUERIES = {
     "media_meta": q_media_meta,
     "ann_cosine_topk": q_ann_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
 }
 

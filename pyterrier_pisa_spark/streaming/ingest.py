@@ -123,3 +123,47 @@ def streaming_term_counts(
     )
     return agg.select(F.col("w.start").alias("window_start"),
                       F.col("w.end").alias("window_end"), "term", "n")
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    content_col: str = "content",
+    id_col: str = "docno",
+):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    exact-dedup an unbounded document stream. Emits each distinct content
+    exactly once — the FIRST-seen doc (lowest id within the first batch that
+    carries it) — and suppresses every later duplicate, across micro-batches
+    and restarts (state lives in the streaming state store, keyed by the
+    content's md5; per-key state is one flag, so state size is
+    O(distinct contents), the minimum possible for exact dedup).
+
+    Returns (id, content_md5) rows; attach your own writeStream sink
+    (append mode). The training-pipeline streaming twin of
+    ``operators.dedup.dedup_exact``."""
+    import pandas as pd
+
+    hashed = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.md5(F.col(content_col)).alias("content_md5"),
+    )
+
+    def _first_seen(key, pdfs, state):
+        if state.exists:
+            return  # content already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["id"].min()
+                best = cand if best is None else min(best, cand)
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame({"id": [best], "content_md5": [key[0]]})
+
+    return hashed.groupBy("content_md5").applyInPandasWithState(
+        _first_seen,
+        outputStructType="id string, content_md5 string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

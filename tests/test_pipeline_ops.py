@@ -225,3 +225,42 @@ def test_jaccard_pairs_hot_shingle_guard_consistent(spark):
     assert (pdf["jaccard"] <= 1.0).all()
     d = {(r.id_a, r.id_b): r.jaccard for r in pdf.itertuples()}
     assert d.get((1, 100)) == 1.0  # identical over the filtered shingle space
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF coarse-quantizer ANN: planted near-duplicates must be recovered
+    (recall vs brute force) and the seeded pipeline must be run-to-run
+    deterministic."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 16)).astype(np.float64)
+    for i in range(5):
+        base[60 + i] = base[i] + rng.standard_normal(16) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        schema="vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+
+    cents, assigned = SIM.ivf_build(emb, n_centroids=8, iters=2, seed=42, dim=16)
+    assert cents.shape == (8, 16)
+    got = SIM.ivf_search(assigned, cents, q, k=5, nprobe=3).toPandas()
+    exact = SIM.cosine_topk(emb, q, k=5).toPandas()
+    # recall@5 vs brute force
+    hits = 0
+    for qid in exact["qid"].unique():
+        t = set(exact[exact["qid"] == qid]["vec_id"])
+        g = set(got[got["qid"] == qid]["vec_id"])
+        hits += len(t & g)
+    recall = hits / len(exact)
+    assert recall >= 0.6, recall
+    # the planted near-dup must be found for each query
+    for i in range(5):
+        g = set(got[got["qid"] == str(i)]["vec_id"])
+        assert 60 + i in g or i in g
+    # determinism: identical output across rebuilds
+    cents2, assigned2 = SIM.ivf_build(emb, n_centroids=8, iters=2, seed=42, dim=16)
+    got2 = SIM.ivf_search(assigned2, cents2, q, k=5, nprobe=3).toPandas()
+    a = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -103,3 +103,39 @@ def test_streaming_term_counts_watermark(spark, tmp_path):
     d = {(str(r["window_start"]), r["term"]): r["n"] for r in out}
     assert d[("2024-01-01 00:00:00", "spark")] == 3
     assert d[("2024-01-01 00:10:00", "merge")] == 1
+
+
+def test_streaming_dedup_exact_stateful(spark, tmp_path):
+    """Stateful streaming dedup (applyInPandasWithState): each distinct
+    content emitted exactly once — in-batch dups collapse to the min id,
+    cross-batch dups are suppressed by the state store across a RESTART."""
+    from pyterrier_pisa_spark.streaming.ingest import streaming_dedup_exact
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    batch1 = spark.createDataFrame(
+        [("d3", "xxx"), ("d1", "xxx"), ("d2", "yyy")],
+        schema="docno string, content string")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "dd_out")
+
+    def run():
+        stream = spark.readStream.schema("docno string, content string").parquet(src)
+        out = streaming_dedup_exact(stream, "content", "docno")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["id"] for r in spark.read.parquet(sink).collect()}
+
+    got1 = run()
+    assert got1 == {"d1", "d2"}  # min-id per content within the batch
+
+    # second epoch: d4 duplicates xxx (suppressed by the STATE STORE across
+    # the restart), d5 is new
+    batch2 = spark.createDataFrame(
+        [("d4", "xxx"), ("d5", "zzz")], schema="docno string, content string")
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2 == {"d1", "d2", "d5"}, got2

@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling_{cpus}")
-    .config("spark.sql.shuffle.partitions", str(4 * cpus))
+    .config("spark.sql.shuffle.partitions", "64")  # FIXED across levels: the
+    # job's task structure must be identical at N and 4N cores, otherwise the
+    # comparison measures different work, not scaling
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "24g")
     .config("spark.ui.enabled", "false")
@@ -52,7 +54,7 @@ corpus.write.mode("overwrite").parquet(f"{tmp}/corpus")
 corpus = spark.read.parquet(f"{tmp}/corpus")
 t0 = time.time()
 build_index(corpus, f"{tmp}/idx", stemmer="porter2", mode="overwrite", chunk_span=2048,
-            num_partitions=4 * cpus)
+            num_partitions=64)
 build_sec = time.time() - t0
 # ---- timed query batch (warm the index reads first)
 idx = load_index(spark, f"{tmp}/idx")
