@@ -122,3 +122,59 @@ def test_batch_groups_scales_with_index_size(spark, tmp_path_factory):
     meta = load_index(spark, path).meta
     # 300 docs / span 4 = 75 chunks -> 75 groups (above the 32 floor)
     assert meta["batch_groups"] == 75
+
+
+def test_quantized_index_per_query_kernel(spark, tmp_path):
+    """Quantized (precompute_impact) indexes run under the PER-QUERY pruned
+    kernel too, with block maxes trusted as absolute impact bounds — results
+    identical to the batch kernel."""
+    from pyterrier_pisa_spark.sources.index_store import quantize_index
+
+    src = str(tmp_path / "q_src")
+    corpus = synth_code_corpus(spark, num_docs=250, seed=21)
+    build_index(corpus, src, stemmer="porter2", block_size=32, chunk_span=64,
+                mode="overwrite")
+    idx = load_index(spark, src)
+    qpath = str(tmp_path / "q_dst")
+    quantize_index(idx, qpath, scorer="bm25", bits=8)
+    qidx = load_index(spark, qpath)
+    per_q = retrieve_blockmax(qidx, QUERIES, scorer="quantized", k=20,
+                              include_query=False).toPandas()
+    batch = retrieve_blockmax_batch(qidx, QUERIES, scorer="quantized", k=20,
+                                    include_query=False).toPandas()
+    assert len(per_q) > 0
+    _cmp(per_q, batch)
+
+
+def test_random_corpora_three_path_equivalence(spark):
+    """Randomized mini-corpora: exhaustive plan, per-query pruned kernel and
+    batch kernel must be rank+score identical for every scorer (seeded
+    sweep — a cheap deterministic stand-in for a hypothesis stateful test,
+    which would respawn Spark jobs per example)."""
+    import random
+
+    from pyterrier_pisa_spark.sources.index_store import build_index as _bi
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [(f"d{i}", " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+                for i in range(120)]
+        corpus = spark.createDataFrame(docs, schema="docno string, content string")
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"rnd{seed}_") + "/idx"
+        _bi(corpus, path, stemmer="none", block_size=16, chunk_span=32,
+            mode="overwrite")
+        idx = load_index(spark, path)
+        queries = [("r1", "w0 w1 w2"), ("r2", " ".join(rng.choices(vocab, k=4))),
+                   ("r3", "w29 zzz")]
+        for scorer in ("bm25", "qld"):
+            exh = retrieve(idx.as_logical(), queries, scorer=scorer, k=15,
+                           include_query=False).toPandas()
+            per_q = retrieve_blockmax(idx, queries, scorer=scorer, k=15,
+                                      include_query=False).toPandas()
+            batch = retrieve_blockmax_batch(idx, queries, scorer=scorer, k=15,
+                                            include_query=False).toPandas()
+            _cmp(per_q, exh)
+            _cmp(batch, exh)

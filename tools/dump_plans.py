@@ -1,0 +1,128 @@
+"""Regenerate PLANS.md: formatted physical plans of the engine's flagship
+dataflows with scale annotations — the `.explain("formatted")` evidence that
+the plans ARE the plans we want (pushdown, broadcast, pinned exchanges,
+whole-stage codegen), not just the first ones that passed.
+
+Usage: python tools/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADER = """# PLANS — physical-plan evidence (regenerate: `python tools/dump_plans.py`)
+
+Each section shows `explain(formatted)` (or the executed plan) of a flagship
+dataflow over the sf0.001 testdata, with the properties that matter at 100 TB
+called out. Expression IDs vary between runs; structure does not.
+"""
+
+
+def _fmt(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("dump_plans")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyterrier_pisa_spark.operators import retrieve as R
+    from pyterrier_pisa_spark.operators.dedup import minhash_dedup
+    from pyterrier_pisa_spark.operators.similarity import lsh_cosine_topk
+    from pyterrier_pisa_spark.operators.wand import (retrieve_blockmax,
+                                                     retrieve_blockmax_batch)
+    from pyterrier_pisa_spark.plans.entry_queries import QUERIES, _index
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+
+    sf = "/root/testdata/sf0.001"
+    sections: list[tuple[str, str, str]] = []
+
+    # 1. exhaustive BM25 plan
+    idx = _index(spark, sf)
+    qterms = R.query_terms_df(spark, QUERIES, stemmer="none", stopwords="none")
+    scored = R.attach_scores(qterms, idx.tf, idx.lexicon, idx.stats, scorer="bm25")
+    top = R.topk(R.ranked_or(scored), 10)
+    sections.append((
+        "Exhaustive BM25 top-k (DataFrame plan — the correctness oracle)",
+        "Query terms broadcast on BOTH joins (no sort-merge of the postings); "
+        "per-posting partials in whole-stage codegen; partial (map-side) "
+        "aggregation before the (qid, docid) shuffle; row_number rewritten to "
+        "WindowGroupLimit so only k rows/qid survive the window exchange, "
+        "which is pinned with an explicit repartition (AQE coalescing "
+        "exemption).",
+        _fmt(top)))
+
+    # persisted index for kernel plans
+    tmp = tempfile.mkdtemp(prefix="plans_")
+    corpus = synth_code_corpus(spark, num_docs=2000, seed=5)
+    build_index(corpus, f"{tmp}/idx", stemmer="porter2", chunk_span=256,
+                mode="overwrite")
+    pidx = load_index(spark, f"{tmp}/idx")
+    pq = [("p1", "parse index query"), ("p2", "def return")]
+
+    # 2. batch kernel
+    sections.append((
+        "Batch retrieval kernel (docid-partitioned, vectorized TAAT)",
+        "ONE scan of the postings parquet with the term_id filter PUSHED to "
+        "the scan (row-group min/max pruning on (term_id, block_id)-sorted "
+        "row groups); one explicit repartition by task_group feeding "
+        "applyInPandas (pinned task count, independent of AQE); global top-k "
+        "window after per-task local top-ks.",
+        _fmt(retrieve_blockmax_batch(pidx, pq, k=10, include_query=False))))
+
+    # 3. per-query kernel
+    sections.append((
+        "Per-query pruned kernel ((qid, task_group) fan-out)",
+        "Candidate blocks join the broadcast (term_id, qid) table, then "
+        "partition by (qid, task_group): a hot query's postings spread over "
+        "many tasks; each task runs block-max/max-score pruned TAAT and "
+        "emits a local top-k.",
+        _fmt(retrieve_blockmax(pidx, pq, k=10, include_query=False))))
+
+    # 4. minhash near-dup pipeline
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sections.append((
+        "MinHash + LSH near-dup (candidates-only verification)",
+        "Shingles/minhashes/bands are pure JVM column math; the ONLY '<' "
+        "join is the LSH band-bucket candidate join; exact-Jaccard "
+        "verification attaches shingle sets to the candidate pairs by id "
+        "equi-joins — no shingle self-join, so no df^2 blow-up on hot "
+        "shingles.",
+        _fmt(minhash_dedup(docs, "text", "doc_id", n=3, bands=8, threshold=0.5))))
+
+    # 5. LSH ANN
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    sections.append((
+        "Hyperplane-LSH ANN top-k (multiprobe)",
+        "Bucket ids are literal-coefficient sign sums (whole-stage codegen, "
+        "no UDF); multiprobe is an EXPLODE of the query's probe buckets into "
+        "a broadcast equi-join — never a nested-loop scan of the corpus.",
+        _fmt(lsh_cosine_topk(emb, q, k=5, bits=8, dim=64))))
+
+    out = [HEADER]
+    for title, notes, plan in sections:
+        out.append(f"\n## {title}\n\n{notes}\n\n```\n{plan.strip()}\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as fh:
+        fh.write("".join(out))
+    print(f"wrote PLANS.md with {len(sections)} sections")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
