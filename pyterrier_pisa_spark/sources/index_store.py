@@ -709,11 +709,21 @@ def from_dataset(spark: SparkSession, name: str,
     return load_index(spark, entries[name])
 
 
-def load_index(spark: SparkSession, path: str) -> PersistedIndex:
+def load_index(spark: SparkSession, path: str,
+               cache_lexicon: bool = True) -> PersistedIndex:
+    """Open a persisted index. ``cache_lexicon`` persists the (vocab-sized)
+    lexicon ⋈ term_stats frame across query batches — the reference's
+    retrieval-context cache (R1, ``__init__.py:452-470``): repeated batches
+    skip the parquet read + stats join. The cache is cluster-distributed
+    (MEMORY_AND_DISK), so it scales with executors, not the driver."""
+    from pyspark import StorageLevel
+
     meta = json.load(open(os.path.join(path, "meta.json")))
     lexicon = spark.read.parquet(os.path.join(path, "lexicon"))
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     lexicon = lexicon.join(term_stats, "term_id", "left").fillna({"max_score": 0.0})
+    if cache_lexicon:
+        lexicon = lexicon.persist(StorageLevel.MEMORY_AND_DISK)
     return PersistedIndex(
         path=path,
         meta=meta,
