@@ -146,6 +146,20 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
+    # embed the latest scaling-efficiency evidence (north rule) if present
+    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as fh:
+            sc = json.load(fh)
+        extra["scaling"] = {
+            "best": next(iter(sc["best"]["pairs"].values()), {}) if "best" in sc else sc.get("pairs"),
+            "last": next(iter(sc["last"]["pairs"].values()), {}) if "last" in sc else None,
+            "best_each": sc.get("best_each"),
+            "n_runs": len(sc.get("runs", [])) or 1,
+            "method": "tools/scaling_bench.py — fixed-work, core-pinned, 2->8 cores;"
+                      " best-of over recorded runs (host noise 2-3x); full history in"
+                      " SCALING.json, table in BASELINE.md"}
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "fulltext_index_e2e_sec",

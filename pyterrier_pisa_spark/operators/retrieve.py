@@ -36,8 +36,20 @@ def query_terms_df(
 ) -> DataFrame:
     """Parse raw queries driver-side (queries are tiny by contract) into a
     (qid, term, qweight) DataFrame to broadcast. Stopword + OOV drop follow
-    the reference's query-time-only semantics (``_pisathon.cpp:494-505``)."""
+    the reference's query-time-only semantics (``_pisathon.cpp:494-505``).
+
+    The stop list is passed through the SAME stemmer before matching: PISA's
+    TermProcessor stems each stopword and resolves it to a term id, then
+    tests the PROCESSED query term against that id set
+    (``_pisathon.cpp:501`` — ``is_stopword(*term)`` after
+    ``term_processor(raw_term)``), so e.g. 'yourselves' filters queries under
+    porter2 even though only its stem matches."""
     stops = get_stopwords(stopwords)
+    if stops and stemmer == "porter2":
+        from ..functions.porter2 import CachedStemmer
+
+        st = CachedStemmer()
+        stops = frozenset(st(w) for w in stops)
     rows = tokenize_queries(queries, stemmer=stemmer, stopwords=stops)
     return spark.createDataFrame(rows or [], schema="qid string, term string, qweight double")
 

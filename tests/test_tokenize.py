@@ -229,3 +229,22 @@ def test_default_stopwords_is_terrier_in_query_path():
     rows = tokenize_queries([("q1", "the cat gets aboard")], stemmer="none",
                             stopwords=get_stopwords("terrier"))
     assert {t for _, t, _ in rows} == {"cat", "aboard"}  # the/gets dropped
+
+
+def test_stopword_filter_applies_to_stemmed_terms():
+    """Reference semantics (_pisathon.cpp:501): stopwords are stemmed by the
+    same TermProcessor, so the check is stem(query term) in stem(stop list).
+    'yourselves' must be filtered under porter2 even though only its stem
+    matches the stemmed list."""
+    from pyterrier_pisa_spark.operators.retrieve import query_terms_df
+    from pyterrier_pisa_spark.functions.porter2 import stem
+
+    assert stem("yourselves") != "yourselves"  # the interesting case
+    import pyspark.sql as _sql
+    spark = _sql.SparkSession.getActiveSession() or _sql.SparkSession.builder \
+        .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    qdf = query_terms_df(spark, [("q1", "yourselves running cat")],
+                         stemmer="porter2", stopwords="terrier")
+    terms = {r["term"] for r in qdf.collect()}
+    assert "run" in terms and "cat" in terms
+    assert stem("yourselves") not in terms  # stemmed stopword dropped
