@@ -73,6 +73,7 @@ def main() -> None:
     build_index(warm, f"{tmp}/warm", stemmer="porter2", mode="overwrite")
     widx = load_index(spark, f"{tmp}/warm")
     retrieve_blockmax(widx, [("w", "parse index")], k=100, include_query=False).count()
+    retrieve_blockmax_batch(widx, [("w", "parse index")], k=100, include_query=False).count()
 
     # ---- 1. build over driver testdata documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(

@@ -291,27 +291,30 @@ def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
                         d, sc = d[order], sc[order]
                     q_docids[qi].append(d)
                     q_scores[qi].append(sc.copy())
-        # ONE output frame per task (not per query): per-query top-k pulled
-        # from concatenated chunk candidates, then stitched together
-        o_q, o_d, o_s, o_r = [], [], [], []
-        for qi, qid in enumerate(qids):
+        # ONE output frame per group, and as NARROW as possible: the group
+        # local top-ks are the query phase's only large Arrow transfer
+        # (groups x queries x k rows), so qid travels as a small int index
+        # (restored to the string after the global window) and no rank
+        # column is emitted (the window recomputes it anyway)
+        o_q, o_d, o_s = [], [], []
+        for qi in range(len(qids)):
             if not q_docids[qi]:
                 continue
             d = np.concatenate(q_docids[qi])
             sc = np.concatenate(q_scores[qi])
             kk = min(k, d.size)
             order = np.lexsort((d, -sc.astype(np.float32)))[:kk]
-            o_q.append(np.full(kk, qid, dtype=object))
+            o_q.append(np.full(kk, qi, dtype=np.int32))
             o_d.append(d[order])
             o_s.append(sc[order])
-            o_r.append(np.arange(kk, dtype=np.int32))
         if not o_q:
-            return _empty_frame()
+            return pd.DataFrame({"qidx": pd.Series(dtype=np.int32),
+                                 "docid": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
         return pd.DataFrame({
-            "qid": np.concatenate(o_q),
+            "qidx": np.concatenate(o_q),
             "docid": np.concatenate(o_d),
             "score": np.concatenate(o_s),
-            "rank": np.concatenate(o_r),
         })
 
     return kernel
@@ -500,7 +503,22 @@ def retrieve_blockmax_batch(
     # path — without it the kernel runs as one task on small candidate sets
     nparts = spark.sparkContext.defaultParallelism
     local = cand.repartition(nparts, "task_group").groupBy("task_group").applyInPandas(
-        kernel, schema="qid string, docid long, score double, rank int"
+        kernel, schema="qidx int, docid long, score double"
     )
-    return _finalize_blockmax(spark, index, local, queries, k, include_query,
-                              cast_float32)
+    # global top-k over the int query index, then restore the qid string via
+    # a tiny broadcast map (the window shuffles groups*queries*k rows — the
+    # narrow qidx column keeps that transfer small)
+    from ..operators.retrieve import topk as _topk_plan
+
+    top = _topk_plan(local.withColumnRenamed("qidx", "qid"), k) \
+        .withColumnRenamed("qid", "qidx")
+    qmap = spark.createDataFrame(
+        [(qi, qid) for qi, qid in enumerate(qinfo)], schema="qidx int, qid string")
+    top = top.join(F.broadcast(qmap), "qidx").drop("qidx")
+    out = top.join(index.docmap.select("docid", "docno"), "docid")
+    score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
+    if include_query:
+        qdf = spark.createDataFrame(queries, schema="qid string, query string")
+        out = out.join(F.broadcast(qdf), "qid")
+        return out.select("qid", "query", "docid", "docno", score_col, "rank")
+    return out.select("qid", "docid", "docno", score_col, "rank")
