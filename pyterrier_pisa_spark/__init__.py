@@ -14,6 +14,7 @@ Quick start::
 
 from .functions.tokenizer import tokenize_text as tokenize
 from .operators.wand import retrieve_blockmax
+from .plans.api import PISA_INDEX_DEFAULTS, PisaSparkIndex, SparkRetriever
 from .plans.pipeline import (
     LogicalIndex,
     build_logical_index,
@@ -28,7 +29,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LogicalIndex",
+    "PISA_INDEX_DEFAULTS",
     "PersistedIndex",
+    "PisaSparkIndex",
+    "SparkRetriever",
     "build_index",
     "build_logical_index",
     "build_logical_index_toks",

@@ -1,0 +1,255 @@
+"""Reference-parity user API: ``PisaSparkIndex`` mirrors the reference's
+``PisaIndex`` (``__init__.py:100-420``) and ``SparkRetriever`` its
+``PisaRetrieve`` transformer (``__init__.py:427-530``) — a user of the
+reference switches by renaming the class and passing Spark DataFrames (or
+plain ``[(qid, text)]`` lists / pandas frames) where the reference takes
+pandas.
+
+    idx = PisaSparkIndex("/data/idx", spark=spark)
+    idx.index(corpus_df)                      # build (mode='create')
+    res = idx.bm25(num_results=100).search("chemical reactions")
+    res = idx.dph().transform(queries_df)     # any scorer
+    fast = idx.bm25(precompute_impact=True)   # quantized impacts (B9)
+
+Every retriever runs on the persisted block index through the pruned or
+batch kernels (``query_algorithm=`` 'block_max_wand' (default) / 'maxscore'
+/ 'wand' -> per-query kernel; 'batch' -> docid-partitioned batch kernel;
+'ranked_or' / 'ranked_and' -> exhaustive DataFrame plans).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.stopwords import DEFAULT_STOPWORDS
+from ..functions.tokenizer import tokenize_text
+
+PISA_INDEX_DEFAULTS = {
+    # reference PISA_INDEX_DEFAULTS (__init__.py:117-123): Terrier stop list,
+    # porter2 stemmer, block_max_wand
+    "stemmer": "porter2",
+    "stops": DEFAULT_STOPWORDS,
+    "query_algorithm": "block_max_wand",
+}
+
+
+def _as_query_list(queries) -> list[tuple[str, str]]:
+    """Accept [(qid, text)], pandas DataFrame, or Spark DataFrame with
+    (qid, query) — queries are tiny by contract (reference takes pandas)."""
+    if isinstance(queries, DataFrame):
+        return [(r["qid"], r["query"]) for r in queries.select("qid", "query").collect()]
+    try:
+        import pandas as pd
+
+        if isinstance(queries, pd.DataFrame):
+            return list(zip(queries["qid"].astype(str), queries["query"]))
+    except ImportError:  # pragma: no cover
+        pass
+    return [(str(q), t) for q, t in queries]
+
+
+class SparkRetriever:
+    """The reference's ``PisaRetrieve`` transformer: ``transform(queries)``
+    and ``search(text)`` sugar (R17)."""
+
+    def __init__(self, index: "PisaSparkIndex", scorer: str, num_results: int,
+                 query_algorithm: str, stops, **scorer_params):
+        self.index = index
+        self.scorer = scorer
+        self.num_results = num_results
+        self.query_algorithm = query_algorithm
+        self.stops = stops
+        self.scorer_params = scorer_params
+
+    def transform(self, queries) -> DataFrame:
+        qs = _as_query_list(queries)
+        pidx = self.index._persisted()
+        if self.query_algorithm in ("block_max_wand", "maxscore", "wand"):
+            from ..operators.wand import retrieve_blockmax
+
+            return retrieve_blockmax(pidx, qs, k=self.num_results,
+                                     scorer=self.scorer, stopwords=self.stops,
+                                     **self.scorer_params)
+        if self.query_algorithm == "batch":
+            from ..operators.wand import retrieve_blockmax_batch
+
+            return retrieve_blockmax_batch(pidx, qs, k=self.num_results,
+                                           scorer=self.scorer, stopwords=self.stops,
+                                           **self.scorer_params)
+        if self.query_algorithm in ("ranked_or", "ranked_and"):
+            from ..plans.pipeline import retrieve
+
+            return retrieve(pidx.as_logical(), qs, scorer=self.scorer,
+                            k=self.num_results, stopwords=self.stops,
+                            mode=self.query_algorithm, **self.scorer_params)
+        raise ValueError(f"unknown query_algorithm {self.query_algorithm!r}")
+
+    # pyterrier-style sugar
+    __call__ = transform
+
+    def search(self, query: str) -> DataFrame:
+        return self.transform([("1", query)])
+
+
+class PisaSparkIndex:
+    """Reference ``PisaIndex`` parity over the persisted parquet block index."""
+
+    def __init__(self, path: str, spark: SparkSession | None = None,
+                 stemmer: str | None = None, stops=None, **build_defaults):
+        self.path = path
+        self.spark = spark or SparkSession.getActiveSession()
+        self.stemmer = stemmer or PISA_INDEX_DEFAULTS["stemmer"]
+        self.stops = stops if stops is not None else PISA_INDEX_DEFAULTS["stops"]
+        self.build_defaults = build_defaults
+        self._pidx = None
+        self._quantized: dict[str, "PisaSparkIndex"] = {}
+
+    # ------------------------------------------------------------- lifecycle
+
+    def built(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "meta.json"))
+
+    def index(self, corpus: DataFrame, mode: str = "create", **kw) -> "PisaSparkIndex":
+        """Build the index from a corpus DataFrame (reference
+        ``PisaIndexer.index``; mode='create' errors if the index exists)."""
+        from ..sources.index_store import build_index
+
+        params = dict(self.build_defaults)
+        params.update(kw)
+        build_index(corpus, self.path, stemmer=self.stemmer, mode=mode, **params)
+        self._pidx = None
+        return self
+
+    def toks_index(self, corpus: DataFrame, scale: float = 100.0,
+                   mode: str = "create", **kw) -> "PisaSparkIndex":
+        """Pretokenized (learned-sparse) build: corpus carries
+        ``toks: map<string,double>`` (reference ``PisaToksIndexer``)."""
+        from ..sources.index_store import build_index
+
+        build_index(corpus, self.path, mode=mode, pretokenized=True, scale=scale, **kw)
+        self._pidx = None
+        return self
+
+    def _persisted(self):
+        from ..sources.index_store import load_index
+
+        if self._pidx is None:
+            if not self.built():
+                raise FileNotFoundError(
+                    f"no index at {self.path}; build one with .index(corpus)")
+            self._pidx = load_index(self.spark, self.path)
+        return self._pidx
+
+    # ----------------------------------------------------------- retrievers
+
+    def bm25(self, k1: float = 0.9, b: float = 0.4, num_results: int = 1000,
+             query_algorithm: str | None = None, stops=None,
+             precompute_impact: bool = False) -> SparkRetriever:
+        if precompute_impact:
+            return self._impact_retriever("bm25", num_results, query_algorithm,
+                                          stops, k1=k1, b=b)
+        return SparkRetriever(self, "bm25", num_results,
+                              query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
+                              self.stops if stops is None else stops, k1=k1, b=b)
+
+    def dph(self, num_results: int = 1000, query_algorithm: str | None = None,
+            stops=None) -> SparkRetriever:
+        return SparkRetriever(self, "dph", num_results,
+                              query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
+                              self.stops if stops is None else stops)
+
+    def pl2(self, c: float = 1.0, num_results: int = 1000,
+            query_algorithm: str | None = None, stops=None) -> SparkRetriever:
+        return SparkRetriever(self, "pl2", num_results,
+                              query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
+                              self.stops if stops is None else stops, c=c)
+
+    def qld(self, mu: float = 1000.0, num_results: int = 1000,
+            query_algorithm: str | None = None, stops=None) -> SparkRetriever:
+        return SparkRetriever(self, "qld", num_results,
+                              query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
+                              self.stops if stops is None else stops, mu=mu)
+
+    def quantized(self, num_results: int = 1000, query_algorithm: str | None = None,
+                  stops=None) -> SparkRetriever:
+        """Quantized dot-product retrieval over an impact index (reference
+        ``PisaIndex.quantized`` — for toks-built or quantize_index outputs)."""
+        return SparkRetriever(self, "quantized", num_results,
+                              query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
+                              self.stops if stops is None else stops)
+
+    def _impact_retriever(self, scorer, num_results, query_algorithm, stops,
+                          **params) -> SparkRetriever:
+        """precompute_impact=True (reference ``__init__.py:223,449``): fold
+        the scorer into 8-bit impacts once (cached beside the index,
+        cache-keyed like the reference's wand data), retrieve quantized."""
+        from ..operators.score import scorer_cache_key
+        from ..sources.index_store import load_index, quantize_index
+
+        key = scorer_cache_key(scorer, **params)
+        if key not in self._quantized:
+            qpath = os.path.join(self.path, f"quantized_{key}")
+            if not os.path.exists(os.path.join(qpath, "meta.json")):
+                quantize_index(self._persisted(), qpath, scorer=scorer, **params)
+            sub = PisaSparkIndex(qpath, spark=self.spark, stemmer=self.stemmer,
+                                 stops=self.stops)
+            self._quantized[key] = sub
+        return self._quantized[key].quantized(
+            num_results=num_results, query_algorithm=query_algorithm, stops=stops)
+
+    # -------------------------------------------------------------- metadata
+
+    def num_docs(self) -> int:
+        return self._persisted().num_docs()
+
+    def num_terms(self) -> int:
+        return self._persisted().num_terms()
+
+    def __len__(self) -> int:
+        return self.num_docs()
+
+    def tokenize(self, text: str) -> list[str]:
+        return tokenize_text(text, stemmer=self.stemmer)
+
+    def get_corpus_iter(self, verbose: bool = False):
+        """Iterate {'docno', 'toks'} dicts from the forward view (reference
+        ``get_corpus_iter``, ``__init__.py:371-390``) — driver-streamed."""
+        pidx = self._persisted()
+        flat = pidx.flat_tf().join(pidx.lexicon.select("term_id", "term"), "term_id")
+        from pyspark.sql import functions as F
+
+        grouped = (flat.groupBy("docid")
+                   .agg(F.map_from_arrays(F.collect_list("term"),
+                                          F.collect_list("tf")).alias("toks"))
+                   .join(pidx.docmap.select("docid", "docno"), "docid")
+                   .orderBy("docid"))
+        for row in grouped.toLocalIterator():
+            yield {"docno": row["docno"], "toks": dict(row["toks"])}
+
+    # ----------------------------------------------------------- interchange
+
+    def to_ciff(self, out_path: str, description: str = "pyterrier_pisa_spark") -> dict:
+        from ..sources.ciff import export_ciff
+
+        return export_ciff(self._persisted(), out_path, description)
+
+    @classmethod
+    def from_ciff(cls, spark: SparkSession, ciff_path: str, index_path: str,
+                  **kw) -> "PisaSparkIndex":
+        from ..sources.ciff import import_ciff
+
+        import_ciff(spark, ciff_path, index_path, **kw)
+        return cls(index_path, spark=spark)
+
+    @classmethod
+    def from_dataset(cls, spark: SparkSession, name: str,
+                     registry_dir: str | None = None) -> "PisaSparkIndex":
+        from ..sources.index_store import from_dataset as _fd
+
+        pidx = _fd(spark, name, registry_dir)
+        obj = cls(pidx.path, spark=spark, stemmer=pidx.meta.get("stemmer", "porter2"))
+        obj._pidx = pidx
+        return obj

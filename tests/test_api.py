@@ -1,0 +1,95 @@
+"""Reference-parity user API (PisaSparkIndex / SparkRetriever): the surface a
+pyterrier_pisa user would switch to — build, every scorer's retriever,
+transform/search, precompute_impact, tokenize, corpus iter, metadata."""
+
+import numpy as np
+import pytest
+
+from pyterrier_pisa_spark import PisaSparkIndex
+
+DOCS = [
+    ("d1", "the chemical reactions are exothermic"),
+    ("d2", "chemical plants process reactions"),
+    ("d3", "spark streams process data"),
+    ("d4", "exothermic reactions release heat energy"),
+]
+
+
+@pytest.fixture(scope="module")
+def api_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("api") / "idx")
+    corpus = spark.createDataFrame(DOCS, schema="docno string, content string")
+    idx = PisaSparkIndex(path, spark=spark)
+    assert not idx.built()
+    idx.index(corpus)  # mode='create'
+    assert idx.built()
+    return idx
+
+
+def test_create_mode_errors_on_existing(spark, api_idx):
+    corpus = spark.createDataFrame(DOCS[:1], schema="docno string, content string")
+    with pytest.raises(FileExistsError):
+        api_idx.index(corpus)  # default mode='create' like the reference
+
+
+def test_metadata(api_idx):
+    assert api_idx.num_docs() == len(api_idx) == 4
+    assert api_idx.num_terms() > 0
+    assert api_idx.tokenize("Chemical Reactions!") == ["chemic", "reaction"]
+
+
+def test_search_and_transform_all_scorers(spark, api_idx):
+    for retr in (api_idx.bm25(num_results=3), api_idx.dph(), api_idx.pl2(),
+                 api_idx.qld()):
+        res = retr.search("chemical reactions").toPandas()
+        assert len(res) >= 1
+        assert set(res.columns) >= {"qid", "docno", "docid", "score", "rank"}
+        assert res.sort_values("rank")["rank"].tolist() == list(range(len(res)))
+    # transform over a query frame (pyterrier style)
+    import pandas as pd
+
+    qdf = pd.DataFrame({"qid": ["a", "b"], "query": ["exothermic heat", "spark data"]})
+    out = api_idx.bm25()(qdf).toPandas()
+    assert set(out["qid"]) == {"a", "b"}
+    assert set(out[out["qid"] == "b"]["docno"]) == {"d3"}
+
+
+def test_query_algorithms_agree(spark, api_idx):
+    qs = [("q1", "chemical reactions process")]
+    frames = {}
+    for alg in ("block_max_wand", "batch", "ranked_or"):
+        res = api_idx.bm25(num_results=4, query_algorithm=alg).transform(qs).toPandas()
+        frames[alg] = res.sort_values("rank")[["docid", "rank"]].reset_index(drop=True)
+    for alg in ("batch", "ranked_or"):
+        assert frames[alg]["docid"].tolist() == frames["block_max_wand"]["docid"].tolist()
+
+
+def test_precompute_impact_retriever(spark, api_idx):
+    """bm25(precompute_impact=True): quantizes once (cached beside the
+    index), then serves integer dot products; ranking must agree with plain
+    BM25 on a well-separated query."""
+    fast = api_idx.bm25(precompute_impact=True, num_results=4)
+    res = fast.search("exothermic reactions").toPandas().sort_values("rank")
+    plain = api_idx.bm25(num_results=4).search("exothermic reactions").toPandas() \
+        .sort_values("rank")
+    assert res["docid"].iloc[0] == plain["docid"].iloc[0]
+    assert (res["score"] == res["score"].astype(int)).all()  # integer impacts
+    # cached: second call reuses the quantized index directory
+    import os
+
+    qdirs = [d for d in os.listdir(api_idx.path) if d.startswith("quantized_")]
+    assert len(qdirs) == 1
+    api_idx.bm25(precompute_impact=True).search("heat")  # no second quantize
+    assert len([d for d in os.listdir(api_idx.path) if d.startswith("quantized_")]) == 1
+
+
+def test_get_corpus_iter(api_idx):
+    docs = {d["docno"]: d["toks"] for d in api_idx.get_corpus_iter()}
+    assert set(docs) == {"d1", "d2", "d3", "d4"}
+    assert docs["d1"]["chemic"] == 1  # stemmed term with tf
+
+
+def test_stops_filter_default_terrier(spark, api_idx):
+    # 'the' is a terrier stopword -> query reduces to 'chemic'
+    res = api_idx.bm25(num_results=4).search("the chemical").toPandas()
+    assert set(res["docno"]) == {"d1", "d2"}
