@@ -47,7 +47,7 @@ def cmd_index(args) -> int:
         corpus, args.index_dir,
         stemmer=args.stemmer, mode=args.mode, id_col=args.id_col,
         docno_col=args.docno_col, pretokenized=args.pretokenized,
-        scale=args.scale, block_size=args.block_size,
+        scale=args.scale, block_size=args.block_size, encoding=args.encoding,
     )
     print(f"indexed num_docs={meta['stats']['num_docs']} num_terms={meta['stats']['num_terms']} "
           f"in {meta['built_sec']:.1f}s -> {args.index_dir}")
@@ -116,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pretokenized", action="store_true")
     p.add_argument("--scale", type=float, default=100.0)
     p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--encoding", default="varint", choices=["varint", "bytepack"])
     p.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
     p.set_defaults(fn=cmd_index)
 

@@ -51,15 +51,15 @@ from pyspark.sql import functions as F
 
 from ..functions.stopwords import DEFAULT_STOPWORDS
 from . import score as S
-from .codec import varint_decode
+from .codec import get_codec
 from .retrieve import DEFAULT_NUM_RESULTS, query_terms_df
 
 
-def _decode_posting_arrays(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decode_posting_arrays(row, decode) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     cnt = int(row.count)
-    d = np.cumsum(varint_decode(row.docids_delta, cnt).astype(np.int64))
-    t = varint_decode(row.tfs, cnt).astype(np.float64)
-    dl = varint_decode(row.doclens, cnt).astype(np.float64)
+    d = np.cumsum(decode(row.docids_delta, cnt).astype(np.int64))
+    t = decode(row.tfs, cnt).astype(np.float64)
+    dl = decode(row.doclens, cnt).astype(np.float64)
     return d, t, dl
 
 
@@ -77,7 +77,7 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
     return uniq, out
 
 
-def _taat_score(terms, by_term, partial, k, conjunctive, use_block_max):
+def _taat_score(terms, by_term, partial, decode, k, conjunctive, use_block_max):
     """Shared TAAT core: terms = [(term_id, qweight, stat, max_score,
     block_scale)] sorted by max_score desc, over per-term block frames ->
     (docids, scores) — exact: only docs provably outside any possible top-k
@@ -114,7 +114,7 @@ def _taat_score(terms, by_term, partial, k, conjunctive, use_block_max):
                 bound = bscale * row.block_max_score if use_block_max else ms
                 if qw * bound + max(acc_max, 0.0) + rest_ub[i] < theta:
                     continue
-            d, tf, dl = _decode_posting_arrays(row)
+            d, tf, dl = _decode_posting_arrays(row, decode)
             seg_d.append(d)
             seg_s.append(qw * partial(tf, dl, float(st)))
         if seg_d:
@@ -162,8 +162,8 @@ def _empty_frame():
                          "rank": pd.Series(dtype=np.int32)})
 
 
-def make_query_kernel(qinfo: dict, partial, k: int, conjunctive: bool = False,
-                      use_block_max: bool = True):
+def make_query_kernel(qinfo: dict, partial, decode, k: int,
+                      conjunctive: bool = False, use_block_max: bool = True):
     """Per-(qid, task_group) applyInPandas kernel. ``qinfo``: qid -> list of
     (term_id, qweight, stat, max_score), sorted by max_score desc. Emits the
     group's LOCAL top-k; the caller's window merges groups.
@@ -181,8 +181,8 @@ def make_query_kernel(qinfo: dict, partial, k: int, conjunctive: bool = False,
             return _empty_frame()
         by_term = {int(tid): grp.sort_values("block_id")
                    for tid, grp in pdf.groupby("term_id")}
-        acc_d, acc_s = _taat_score(terms, by_term, partial, k, conjunctive,
-                                   use_block_max)
+        acc_d, acc_s = _taat_score(terms, by_term, partial, decode, k,
+                                   conjunctive, use_block_max)
         if acc_d.size == 0:
             return _empty_frame()
         return _topk_frame(qid, acc_d, acc_s, k)
@@ -190,7 +190,7 @@ def make_query_kernel(qinfo: dict, partial, k: int, conjunctive: bool = False,
     return kernel
 
 
-def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
+def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
                       conjunctive: bool = False, query_block: int = 64):
     """Kernel for the docid-partitioned BATCH mode: each task holds one chunk
     group's blocks (every block lies entirely inside one chunk by build
@@ -244,7 +244,7 @@ def make_batch_kernel(qinfo: dict, partial, k: int, chunk_span: int,
                 tid = int(tid)
                 ds, ss = [], []
                 for row in grp.itertuples():
-                    d, tf, dl = _decode_posting_arrays(row)
+                    d, tf, dl = _decode_posting_arrays(row, decode)
                     ds.append(d - base)
                     ss.append(partial(tf, dl, tid_stat[tid]))
                 span_rows.append((tid_row[tid], np.concatenate(ds), np.concatenate(ss)))
@@ -375,7 +375,8 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
         )
     for qid in qinfo:
         qinfo[qid].sort(key=lambda t: -t[3])
-    return spark, qinfo, partial, use_block_max
+    decode = get_codec(meta.get("encoding")).decode
+    return spark, qinfo, partial, decode, use_block_max
 
 
 def _finalize_blockmax(spark, index, local: DataFrame, queries, k,
@@ -434,7 +435,7 @@ def retrieve_blockmax(
     Parallelism: (qid, task_group) — a query's candidate blocks spread over
     up to ``batch_groups`` tasks, each pruning independently and emitting a
     local top-k (no single-task hot-query bottleneck)."""
-    spark, qinfo, partial, use_block_max = _query_plan_inputs(
+    spark, qinfo, partial, decode, use_block_max = _query_plan_inputs(
         index, queries, k1, b, mu, c, scorer, stopwords)
 
     tid_qids: list[tuple[int, str]] = []
@@ -451,7 +452,7 @@ def retrieve_blockmax(
         "qid", "task_group", "term_id", "block_id", "count", "docid_first",
         "docid_last", "block_max_score", "docids_delta", "tfs", "doclens"
     )
-    kernel = make_query_kernel(qinfo, partial, k, conjunctive=conjunctive,
+    kernel = make_query_kernel(qinfo, partial, decode, k, conjunctive=conjunctive,
                                use_block_max=use_block_max)
     # explicit repartition on the group keys: satisfies the groupBy's
     # distribution (no second exchange) AND is exempt from AQE partition
@@ -490,14 +491,14 @@ def retrieve_blockmax_batch(
     runs). Per-chunk conjunctive filtering stays exact because every posting
     of docid d (any term) lives in chunk(d) by the build contract.
     Results are rank- and score-identical to the exhaustive plan."""
-    spark, qinfo, partial, _ubm = _query_plan_inputs(
+    spark, qinfo, partial, decode, _ubm = _query_plan_inputs(
         index, queries, k1, b, mu, c, scorer, stopwords)
     tids = sorted({t[0] for terms in qinfo.values() for t in terms})
     if not tids:
         return _empty_result(spark)
 
     cand, chunk_span = _with_task_group(index, tids)
-    kernel = make_batch_kernel(qinfo, partial, k, chunk_span,
+    kernel = make_batch_kernel(qinfo, partial, decode, k, chunk_span,
                                conjunctive=conjunctive)
     # explicit repartition: same AQE-coalescing exemption as the per-query
     # path — without it the kernel runs as one task on small candidate sets

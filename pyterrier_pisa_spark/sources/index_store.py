@@ -51,8 +51,7 @@ from pyspark.sql import functions as F
 
 from ..operators import build as B
 from ..operators import score as S
-from ..operators.codec import (delta_encode, delta_encode_segments, varint_decode,
-                               varint_encode, varint_encode_segments)
+from ..operators.codec import delta_encode_segments, get_codec
 from ..plans.pipeline import LogicalIndex, prepare_corpus
 
 FORMAT_VERSION = 1
@@ -103,24 +102,6 @@ def _append_metrics(spark: SparkSession, path: str, phase: str, rows: list[tuple
     pq.write_table(table, os.path.join(mdir, f"part-{phase}-{uuid.uuid4().hex[:8]}.parquet"))
 
 
-def _pack_block_pdf(rows: list[tuple]) -> pd.DataFrame:
-    out = {
-        "term_id": [], "block_id": [], "count": [], "docid_first": [], "docid_last": [],
-        "block_max_score": [], "docids_delta": [], "tfs": [], "doclens": [],
-    }
-    for term_id, block_id, docids, tfs, doclens, bmax in rows:
-        out["term_id"].append(term_id)
-        out["block_id"].append(block_id)
-        out["count"].append(len(docids))
-        out["docid_first"].append(int(docids[0]))
-        out["docid_last"].append(int(docids[-1]))
-        out["block_max_score"].append(float(bmax))
-        out["docids_delta"].append(varint_encode(delta_encode(docids).astype(np.uint64)))
-        out["tfs"].append(varint_encode(np.asarray(tfs, dtype=np.uint64)))
-        out["doclens"].append(varint_encode(np.asarray(doclens, dtype=np.uint64)))
-    return pd.DataFrame(out)
-
-
 def build_index(
     corpus: DataFrame,
     path: str,
@@ -135,6 +116,7 @@ def build_index(
     pretokenized: bool = False,
     scale: float = 100.0,
     num_partitions: int | None = None,
+    encoding: str = "varint",
 ) -> "dict":
     """Build (or resume) a persisted index. Returns meta dict.
 
@@ -238,7 +220,7 @@ def build_index(
     if not _phase_done(path, "postings"):
         t1 = time.time()
         agg = _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b,
-                              chunk_span, num_partitions)
+                              chunk_span, num_partitions, encoding)
         _append_metrics(spark, path, "postings",
                         [("postings", -1, agg["blocks"], agg["postings"] or 0, agg["bytes"] or 0, time.time())])
         _commit_phase(path, "postings", {"blocks": agg["blocks"], "postings": int(agg["postings"] or 0),
@@ -282,6 +264,7 @@ def build_index(
         # per-block maxima store the df-independent rest factor; absolute
         # bounds are reconstructed as idf * rest at query time
         "block_max_kind": "bm25_rest",
+        "encoding": encoding,
         "scorer": {"name": "bm25", "k1": k1, "b": b},
         "stats": stats,
         "built_sec": time.time() - t0,
@@ -338,7 +321,7 @@ def _fwd_to_tf(fwd: DataFrame) -> DataFrame:
 
 
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
-                    num_partitions) -> dict:
+                    num_partitions, encoding="varint") -> dict:
     """The invert: ONE posting-granularity shuffle, then streaming vectorized
     block packing — with CHUNK-LOCAL blocks.
 
@@ -368,6 +351,7 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
     or per-block Python.
     """
     avgdl = stats["avg_doclen"]
+    codec = get_codec(encoding)
     np_ = num_partitions or spark.sparkContext.defaultParallelism
     blocks_per_chunk = chunk_span // block_size + 1
 
@@ -409,9 +393,9 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
             "count": seg_lengths.astype(np.int32),
             "docid_first": sel_d[out_starts], "docid_last": sel_d[ends],
             "block_max_score": bmax,
-            "docids_delta": varint_encode_segments(gaps.astype(np.uint64), out_starts),
-            "tfs": varint_encode_segments(sel_t.astype(np.uint64), out_starts),
-            "doclens": varint_encode_segments(sel_l.astype(np.uint64), out_starts),
+            "docids_delta": codec.encode_segments(gaps.astype(np.uint64), out_starts),
+            "tfs": codec.encode_segments(sel_t.astype(np.uint64), out_starts),
+            "doclens": codec.encode_segments(sel_l.astype(np.uint64), out_starts),
         })
 
     def _process(term_id, docid, tf_, doclen):
@@ -510,6 +494,7 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     b = meta["scorer"]["b"] if b is None else b
     partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
     stat_col = S.term_stat_col(scorer)
+    codec = get_codec(meta.get("encoding"))
 
     ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
     gmax = float(ts.agg(F.max("max_score")).collect()[0][0])
@@ -533,11 +518,11 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
             out_tfs, out_bmax = [], np.empty(len(pdf), dtype=np.float64)
             for i, (cnt, tb, lb, st) in enumerate(zip(
                     pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
-                t = varint_decode(tb, int(cnt)).astype(np.float64)
-                dl = varint_decode(lb, int(cnt)).astype(np.float64)
+                t = codec.decode(tb, int(cnt)).astype(np.float64)
+                dl = codec.decode(lb, int(cnt)).astype(np.float64)
                 p = partial(t, dl, float(st))
                 imp = np.maximum(1.0, np.ceil(p / gmax * levels)).astype(np.uint64)
-                out_tfs.append(varint_encode(imp))
+                out_tfs.append(codec.encode(imp))
                 out_bmax[i] = float(imp.max())
             res = pdf[["term_id", "block_id", "count", "docid_first", "docid_last",
                        "docids_delta", "doclens"]].copy()
@@ -591,6 +576,7 @@ def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
     if not os.path.exists(cache_dir):
         stat_col = S.term_stat_col(scorer)
         partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
+        codec = get_codec(meta.get("encoding"))
         stats_map = F.broadcast(index.lexicon.select("term_id", F.col(stat_col).alias("stat")))
         blocks = index.blocks.select("term_id", "count", "tfs", "doclens").join(stats_map, "term_id")
 
@@ -601,8 +587,8 @@ def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
                 maxes = np.empty(len(pdf), dtype=np.float64)
                 for i, (cnt, tb, lb, st) in enumerate(zip(
                         pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
-                    t = varint_decode(tb, int(cnt)).astype(np.float64)
-                    dl = varint_decode(lb, int(cnt)).astype(np.float64)
+                    t = codec.decode(tb, int(cnt)).astype(np.float64)
+                    dl = codec.decode(lb, int(cnt)).astype(np.float64)
                     maxes[i] = partial(t, dl, float(st)).max()
                 yield pd.DataFrame({"term_id": pdf["term_id"], "bmax": maxes})
 
@@ -626,15 +612,17 @@ class PersistedIndex:
     def flat_tf(self) -> DataFrame:
         """Decode blocks back to (term_id, docid, tf, doclen) — the oracle
         view (also backs the reference's ``get_corpus_iter``, S5)."""
+        codec = get_codec(self.meta.get("encoding"))
+
         def _decode(batches):
             for pdf in batches:
                 outs = []
                 for term_id, cnt, db, tb, lb in zip(
                     pdf["term_id"], pdf["count"], pdf["docids_delta"], pdf["tfs"], pdf["doclens"]
                 ):
-                    d = np.cumsum(varint_decode(db, int(cnt)).astype(np.int64))
-                    t = varint_decode(tb, int(cnt)).astype(np.int64)
-                    dl = varint_decode(lb, int(cnt)).astype(np.int64)
+                    d = np.cumsum(codec.decode(db, int(cnt)).astype(np.int64))
+                    t = codec.decode(tb, int(cnt)).astype(np.int64)
+                    dl = codec.decode(lb, int(cnt)).astype(np.int64)
                     outs.append(pd.DataFrame({"term_id": term_id, "docid": d, "tf": t, "doclen": dl}))
                 yield pd.concat(outs) if outs else pd.DataFrame(
                     {"term_id": [], "docid": [], "tf": [], "doclen": []})

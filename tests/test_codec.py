@@ -69,3 +69,30 @@ def test_compression_actually_compresses():
     db, tb = encode_block(docids, tfs)
     assert len(db) < 10_050  # ~1 byte per gap (gap=3)
     assert len(tb) == 10_000
+
+
+def test_bytepack_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyterrier_pisa_spark.operators.codec import bytepack_decode, bytepack_encode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+    def roundtrip(vals):
+        a = np.array(vals, dtype=np.uint64)
+        assert (bytepack_decode(bytepack_encode(a), len(a)) == a).all()
+
+    roundtrip()
+
+
+def test_codec_registry():
+    import pytest as _pytest
+
+    from pyterrier_pisa_spark.operators.codec import ENCODINGS, get_codec
+
+    assert set(ENCODINGS) == {"varint", "bytepack"}
+    assert get_codec(None).name == "varint"
+    with _pytest.raises(ValueError, match="unknown index encoding"):
+        get_codec("simd9000")

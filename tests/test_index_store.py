@@ -263,3 +263,36 @@ def test_dataset_registry_roundtrip(spark, tmp_path):
         from_dataset(spark, "nope", registry_dir=reg)
     with _pytest.raises(FileNotFoundError):
         register_dataset("bad", str(tmp_path / "missing"), registry_dir=reg)
+
+
+def test_bytepack_encoding_index_rank_identical(spark, tmp_path):
+    """B8 encoding parity: a bytepack-encoded index must return rank- AND
+    score-identical results to the default varint index (encodings are
+    rank-preserving storage variants, reference index_encoding semantics)."""
+    import numpy as np
+
+    from pyterrier_pisa_spark.operators.wand import (retrieve_blockmax,
+                                                     retrieve_blockmax_batch)
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+
+    corpus = synth_code_corpus(spark, num_docs=300, seed=6)
+    pv = str(tmp_path / "v_idx")
+    pb = str(tmp_path / "b_idx")
+    build_index(corpus, pv, stemmer="porter2", block_size=32, chunk_span=64,
+                mode="overwrite")
+    build_index(corpus, pb, stemmer="porter2", block_size=32, chunk_span=64,
+                mode="overwrite", encoding="bytepack")
+    iv, ib = load_index(spark, pv), load_index(spark, pb)
+    assert ib.meta["encoding"] == "bytepack"
+    qs = [("q1", "parse index query"), ("q2", "def return")]
+    for fn in (retrieve_blockmax, retrieve_blockmax_batch):
+        a = fn(iv, qs, k=20, include_query=False).toPandas().sort_values(
+            ["qid", "rank"]).reset_index(drop=True)
+        b = fn(ib, qs, k=20, include_query=False).toPandas().sort_values(
+            ["qid", "rank"]).reset_index(drop=True)
+        assert a["docid"].tolist() == b["docid"].tolist()
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-12)
+    # flat view decodes identically too
+    fa = iv.flat_tf().toPandas().sort_values(["term_id", "docid"]).reset_index(drop=True)
+    fb = ib.flat_tf().toPandas().sort_values(["term_id", "docid"]).reset_index(drop=True)
+    assert fa.equals(fb)
