@@ -79,21 +79,37 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
 
 def _taat_score(terms, by_term, partial, decode, k, conjunctive, use_block_max):
     """Shared TAAT core: terms = [(term_id, qweight, stat, max_score,
-    block_scale)] sorted by max_score desc, over per-term block frames ->
-    (docids, scores) — exact: only docs provably outside any possible top-k
-    are skipped.
+    block_scale, min_score)] sorted by max_score desc, over per-term block
+    frames -> (docids, scores) — exact: only docs provably outside any
+    possible top-k are skipped.
 
     ``partial(tf, dl, stat)`` is the scorer's vectorized per-posting partial.
     ``use_block_max``: trust block_scale * stored per-block max as the block
     bound (block_scale reconstructs the absolute bound — idf for 'bm25_rest'
     indexes, 1.0 for 'absolute'); otherwise bound each block by the
-    term-level max_score (max-score pruning)."""
+    term-level max_score (max-score pruning).
+
+    SOUNDNESS with negative partials (qld's doclen term is always negative;
+    pl2/dph can be): theta = kth-best accumulated score is NOT a lower bound
+    on the final kth-best when remaining terms can subtract. Two guards make
+    the skip rule exact for any scorer:
+    - theta is lowered by ``neg_rest[i] = sum_{j>=i} min(0, qw_j*min_j)``,
+      the worst possible remaining negative contribution: at least k docs
+      (the current leaders) finish >= theta + neg_rest[i], so that IS a
+      lower bound on the final (reported) kth-best;
+    - the block bound is clamped at 0, so a doc in a skipped block — whose
+      reported score omits the skipped (possibly negative) contribution and
+      every unprocessed term's bound — still reports < theta + neg_rest[i]
+      and can never displace a leader. Docs that DO reach the top-k
+      therefore had no skipped blocks: reported scores are exact."""
     # per-term upper bounds clamped at 0: a doc unmatched by a remaining term
     # gains 0 from it, so negative maxima (possible for qld/pl2/dph) must not
     # lower the remaining-terms bound
-    ubs = np.array([max(0.0, qw * ms) for (_, qw, _, ms, _) in terms], dtype=np.float64)
+    ubs = np.array([max(0.0, qw * ms) for (_, qw, _, ms, _, _) in terms], dtype=np.float64)
+    negs = np.array([min(0.0, qw * mn) for (_, qw, _, _, _, mn) in terms], dtype=np.float64)
     can_prune = not conjunctive
     rest_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+    neg_rest = np.cumsum(negs[::-1])[::-1]  # includes term i itself
 
     acc_d = np.empty(0, dtype=np.int64)
     acc_s = np.empty(0, dtype=np.float64)
@@ -101,7 +117,7 @@ def _taat_score(terms, by_term, partial, decode, k, conjunctive, use_block_max):
     nmatch_c = np.empty(0, dtype=np.int64)
     theta = -np.inf
 
-    for i, (tid, qw, st, ms, bscale) in enumerate(terms):
+    for i, (tid, qw, st, ms, bscale, _mn) in enumerate(terms):
         grp = by_term.get(int(tid))
         if grp is None:
             continue
@@ -112,7 +128,8 @@ def _taat_score(terms, by_term, partial, decode, k, conjunctive, use_block_max):
                 hi = np.searchsorted(acc_d, row.docid_last, "right")
                 acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
                 bound = bscale * row.block_max_score if use_block_max else ms
-                if qw * bound + max(acc_max, 0.0) + rest_ub[i] < theta:
+                if max(qw * bound, 0.0) + max(acc_max, 0.0) + rest_ub[i] \
+                        < theta + neg_rest[i]:
                     continue
             d, tf, dl = _decode_posting_arrays(row, decode)
             seg_d.append(d)
@@ -191,7 +208,8 @@ def make_query_kernel(qinfo: dict, partial, decode, k: int,
 
 
 def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
-                      conjunctive: bool = False, query_block: int = 64):
+                      conjunctive: bool = False, query_block: int = 64,
+                      dense_cells: int = 8 << 20):
     """Kernel for the docid-partitioned BATCH mode: each task holds one chunk
     group's blocks (every block lies entirely inside one chunk by build
     contract) and scores ALL queries against them.
@@ -253,9 +271,9 @@ def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
             col_of = np.zeros(chunk_span, dtype=np.int64)
             col_of[all_loc] = np.arange(all_loc.size)
             ncols = all_loc.size
-            # term-row blocking bounds the dense slab to ~64 MB regardless of
-            # how many distinct terms the query batch touches
-            t_block = max(1, min(n_terms, (8 << 20) // max(1, ncols)))
+            # term-row blocking bounds the dense slab to ~64 MB (dense_cells
+            # doubles) regardless of how many distinct terms the batch touches
+            t_block = max(1, min(n_terms, dense_cells // max(1, ncols)))
             span_rows.sort(key=lambda r: r[0])
             docids = base + all_loc
             for q0 in range(0, len(qids), query_block):
@@ -265,9 +283,12 @@ def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
                 si = 0
                 while si < len(span_rows):
                     t0 = span_rows[si][0] // t_block * t_block
-                    t1 = t0 + t_block
-                    M = np.zeros((t_block, ncols), dtype=np.float64)
-                    P = np.zeros((t_block, ncols), dtype=np.float64)
+                    # clamp the LAST term block: t0+t_block can pass n_terms,
+                    # and Qw[:, t0:t1] silently clips while M would not —
+                    # matmul shape error on any partial trailing block
+                    t1 = min(t0 + t_block, n_terms)
+                    M = np.zeros((t1 - t0, ncols), dtype=np.float64)
+                    P = np.zeros((t1 - t0, ncols), dtype=np.float64)
                     while si < len(span_rows) and span_rows[si][0] < t1:
                         trow, d, s = span_rows[si]
                         cols = col_of[d]
@@ -335,12 +356,13 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
     stat_col = S.term_stat_col(scorer)
     ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
     lex = index.lexicon.select("term", "term_id", F.col(stat_col).alias("stat")).join(
-        ts.withColumnRenamed("max_score", "ms"), "term_id", "left"
-    ).fillna({"ms": 0.0})
+        ts.withColumnRenamed("max_score", "ms").withColumnRenamed("min_score", "mn"),
+        "term_id", "left"
+    ).fillna({"ms": 0.0, "mn": 0.0})
     matched = (
         F.broadcast(qterms)
         .join(lex, "term")
-        .select("qid", "term_id", "qweight", "stat", "ms")
+        .select("qid", "term_id", "qweight", "stat", "ms", "mn")
         .collect()
     )
     partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
@@ -371,7 +393,7 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
         df_ = float(r["stat"])
         qinfo.setdefault(r["qid"], []).append(
             (int(r["term_id"]), float(r["qweight"]), df_, float(r["ms"]),
-             _bscale(df_))
+             _bscale(df_), float(r["mn"]))
         )
     for qid in qinfo:
         qinfo[qid].sort(key=lambda t: -t[3])
@@ -396,9 +418,15 @@ def _finalize_blockmax(spark, index, local: DataFrame, queries, k,
     return out.select("qid", "docid", "docno", score_col, "rank")
 
 
-def _empty_result(spark) -> DataFrame:
+def _empty_result(spark, include_query: bool = True,
+                  cast_float32: bool = True) -> DataFrame:
+    """Zero-row result with EXACTLY the schema `_finalize_blockmax` emits for
+    the same flags — the no-term-matches edge case must union/select cleanly
+    against non-empty results downstream."""
+    q = "query string, " if include_query else ""
+    s = "float" if cast_float32 else "double"
     return spark.createDataFrame(
-        [], schema="qid string, docid long, docno string, score float, rank int")
+        [], schema=f"qid string, {q}docid long, docno string, score {s}, rank int")
 
 
 def _with_task_group(index, tids) -> tuple[DataFrame, int]:
@@ -443,7 +471,7 @@ def retrieve_blockmax(
         for (tid, *_rest) in terms:
             tid_qids.append((tid, qid))
     if not tid_qids:
-        return _empty_result(spark)
+        return _empty_result(spark, include_query, cast_float32)
     tq = spark.createDataFrame(tid_qids, schema="term_id long, qid string")
 
     tids = sorted({tid for tid, _ in tid_qids})
@@ -495,7 +523,7 @@ def retrieve_blockmax_batch(
         index, queries, k1, b, mu, c, scorer, stopwords)
     tids = sorted({t[0] for terms in qinfo.values() for t in terms})
     if not tids:
-        return _empty_result(spark)
+        return _empty_result(spark, include_query, cast_float32)
 
     cand, chunk_span = _with_task_group(index, tids)
     kernel = make_batch_kernel(qinfo, partial, decode, k, chunk_span,

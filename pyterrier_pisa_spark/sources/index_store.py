@@ -552,49 +552,71 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
 
 def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
                       b: float = 0.4, mu: float = 1000.0, c: float = 1.0) -> DataFrame:
-    """(term_id, max_score) for the requested scorer — the per-scorer WAND
-    data of the reference (``_pisathon.cpp:229-255``: wand/quantized data is
-    cache-keyed by (scorer, params) and rebuilt on miss).
+    """(term_id, max_score, min_score) for the requested scorer — the
+    per-scorer WAND data of the reference (``_pisathon.cpp:229-255``:
+    wand/quantized data is cache-keyed by (scorer, params) and rebuilt on
+    miss). ``min_score`` (the per-term MINIMUM per-posting partial) makes the
+    pruning threshold sound for scorers with negative partials (qld/pl2/dph):
+    theta is lowered by the worst possible remaining negative contribution.
 
-    The index stores BM25 max-scores at its build params for free (phase 4).
-    Any other (scorer, params) triggers ONE decode pass over the packed
-    blocks (per-block max partial -> per-term max), cached as
-    ``term_stats_<key>/`` parquet beside the index so subsequent queries on
-    the same scorer are pure reads. The pass is embarrassingly parallel over
-    block rows (no shuffle before the term-level agg)."""
+    The index stores BM25 max-scores at its build params for free (phase 4);
+    bm25's clamped idf and quantized impacts are provably non-negative, so
+    min_score is 0 on those fast paths. Any other (scorer, params) triggers
+    ONE decode pass over the packed blocks (per-block min/max partial ->
+    per-term min/max), cached as ``term_stats_<key>/`` parquet beside the
+    index so subsequent queries on the same scorer are pure reads. The pass
+    is embarrassingly parallel over block rows (no shuffle before the
+    term-level agg)."""
     spark = index.docmap.sparkSession
     meta = index.meta
     built = meta["scorer"].get("name", "bm25")
     if scorer == "bm25" and built == "bm25" and k1 == meta["scorer"].get("k1") \
             and b == meta["scorer"].get("b"):
-        return index.lexicon.select("term_id", "max_score")
+        # bm25 partials are strictly positive (idf clamped at IDF_EPS)
+        return index.lexicon.select("term_id", "max_score",
+                                    F.lit(0.0).alias("min_score"))
     if scorer == "quantized" and built == "quantized":
-        # a quantized index's stored term stats ARE the max impacts
-        return index.lexicon.select("term_id", "max_score")
+        # a quantized index's stored term stats ARE the max impacts (>= 0)
+        return index.lexicon.select("term_id", "max_score",
+                                    F.lit(0.0).alias("min_score"))
     key = S.scorer_cache_key(scorer, k1, b, mu, c)
     cache_dir = os.path.join(index.path, f"term_stats_{key}")
-    if not os.path.exists(cache_dir):
-        stat_col = S.term_stat_col(scorer)
-        partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
-        codec = get_codec(meta.get("encoding"))
-        stats_map = F.broadcast(index.lexicon.select("term_id", F.col(stat_col).alias("stat")))
-        blocks = index.blocks.select("term_id", "count", "tfs", "doclens").join(stats_map, "term_id")
 
-        def _block_max(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                maxes = np.empty(len(pdf), dtype=np.float64)
-                for i, (cnt, tb, lb, st) in enumerate(zip(
-                        pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
-                    t = codec.decode(tb, int(cnt)).astype(np.float64)
-                    dl = codec.decode(lb, int(cnt)).astype(np.float64)
-                    maxes[i] = partial(t, dl, float(st)).max()
-                yield pd.DataFrame({"term_id": pdf["term_id"], "bmax": maxes})
+    def _read_cache():
+        df = spark.read.parquet(cache_dir)
+        return df if "min_score" in df.columns else None  # pre-min cache
 
-        per_block = blocks.mapInPandas(_block_max, schema="term_id long, bmax double")
-        ts = per_block.groupBy("term_id").agg(F.max("bmax").alias("max_score"))
-        ts.write.mode("overwrite").parquet(cache_dir)
+    if os.path.exists(cache_dir):
+        cached = _read_cache()
+        if cached is not None:
+            return cached
+    stat_col = S.term_stat_col(scorer)
+    partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
+    codec = get_codec(meta.get("encoding"))
+    stats_map = F.broadcast(index.lexicon.select("term_id", F.col(stat_col).alias("stat")))
+    blocks = index.blocks.select("term_id", "count", "tfs", "doclens").join(stats_map, "term_id")
+
+    def _block_minmax(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            maxes = np.empty(len(pdf), dtype=np.float64)
+            mins = np.empty(len(pdf), dtype=np.float64)
+            for i, (cnt, tb, lb, st) in enumerate(zip(
+                    pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
+                t = codec.decode(tb, int(cnt)).astype(np.float64)
+                dl = codec.decode(lb, int(cnt)).astype(np.float64)
+                p = partial(t, dl, float(st))
+                maxes[i] = p.max()
+                mins[i] = p.min()
+            yield pd.DataFrame({"term_id": pdf["term_id"], "bmax": maxes,
+                                "bmin": mins})
+
+    per_block = blocks.mapInPandas(_block_minmax,
+                                   schema="term_id long, bmax double, bmin double")
+    ts = per_block.groupBy("term_id").agg(F.max("bmax").alias("max_score"),
+                                          F.min("bmin").alias("min_score"))
+    ts.write.mode("overwrite").parquet(cache_dir)
     return spark.read.parquet(cache_dir)
 
 
