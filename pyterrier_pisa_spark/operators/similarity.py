@@ -92,7 +92,9 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
 
 def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
     """LSH bucket id = sign bits against ``planes`` (literal coefficients —
-    pure Catalyst arithmetic, whole-stage codegen'd)."""
+    pure Catalyst arithmetic, whole-stage codegen'd). Only for SMALL
+    bits*dim: the expression tree has one node per coefficient. Use
+    ``with_bucket`` to pick this or the vectorized path automatically."""
     bits = []
     for j, row in enumerate(planes):
         dot = sum(
@@ -101,6 +103,44 @@ def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
         )
         bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).cast("int")
+
+
+# above this many literal coefficients the Catalyst expression tree stops
+# being a win: at production embedding dims (768-4096) x 16-24 bits it is a
+# 10^4-10^5-node tree (codegen fallback, minutes of planning) — the Arrow
+# matmul path bucketizes those in one BLAS call per batch
+_LITERAL_BUCKET_MAX_CELLS = 2048
+
+
+def with_bucket(df: DataFrame, vec_field: str, planes: np.ndarray,
+                out: str = "bucket") -> DataFrame:
+    """Attach the LSH bucket id for ``vec_field`` (array<double>).
+
+    Small bits*dim -> literal Catalyst expression (whole-stage codegen'd,
+    and exactly reproducible in the DuckDB oracle SQL); large bits*dim ->
+    ``mapInPandas`` sign-bit matmul (one (batch x dim) @ (dim x bits) BLAS
+    call per Arrow batch — the 100 TB shape for real embedding dims)."""
+    nbits, dim = planes.shape
+    if nbits * dim <= _LITERAL_BUCKET_MAX_CELLS:
+        return df.withColumn(out, _bucket_col(F.col(vec_field), planes))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # fresh StructType — StructType.add would MUTATE df's live schema object
+    out_schema = StructType(list(df.schema.fields) + [StructField(out, IntegerType())])
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    def _fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_field].to_numpy())
+            b = ((V @ planes.T >= 0) @ weights).astype(np.int32)
+            pdf = pdf.copy()
+            pdf[out] = b
+            yield pdf
+
+    return df.mapInPandas(_fn, schema=out_schema)
 
 
 def lsh_cosine_topk(
@@ -128,10 +168,10 @@ def lsh_cosine_topk(
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    c = c.withColumn("bucket", _bucket_col(F.col("v"), planes))
+    c = with_bucket(c, "v", planes, out="bucket")
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).cast("array<double>").alias("qv"))
-    q = q.withColumn("qbucket", _bucket_col(F.col("qv"), planes))
+    q = with_bucket(q, "qv", planes, out="qbucket")
     # multi-probe as an EQUI-join: explode the query's probe buckets
     # (bucket + single-bit flips) so the join hashes on bucket id —
     # no nested-loop scan of the corpus
@@ -168,7 +208,7 @@ def embedding_near_dup(
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    c = c.withColumn("bucket", _bucket_col(F.col("v"), planes))
+    c = with_bucket(c, "v", planes, out="bucket")
     probed = c.withColumn("bucket", F.explode(_probe_buckets(F.col("bucket"), bits, multiprobe_hamming)))
     a, b = c.alias("a"), probed.alias("b")
     # equi-join on bucket (hash/sort-merge, scalable); each hamming<=1 pair
@@ -199,11 +239,15 @@ def ivf_build(
 
     Distributed shape per round: ONE Arrow-vectorized assignment pass
     (argmax of a corpus x centroids matmul inside mapInPandas — centroids are
-    a small broadcast closure) + ONE groupBy(cluster, position) mean agg for
-    the update (centroid matrix is n_centroids x dim — driver-sized by
-    definition). Returns (centroids, assigned) where assigned =
-    (vec_id, v:array<double>, cluster:int); persist/write ``assigned``
-    bucketed by cluster for repeated serving."""
+    a small broadcast closure) + a map-side PARTIAL-SUM combiner for the
+    update: each Arrow batch emits at most one (cluster, sum-vector, count)
+    row per cluster it saw, a groupBy(cluster) reduce sums those, and the
+    driver collects exactly n_centroids array rows — the same order of data
+    as the centroid matrix it must hold anyway (NOT n_centroids x dim scalar
+    rows, which OOMs the driver at 10^5 centroids x 10^3 dims). Returns
+    (centroids, assigned) where assigned = (vec_id, v:array<double>,
+    cluster:int); persist/write ``assigned`` bucketed by cluster for
+    repeated serving."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -229,24 +273,43 @@ def ivf_build(
                                     "cluster": cl})
         return _assign
 
+    def _partial_sums(batches):
+        # map-side combine: <= n_centroids array rows per Arrow batch
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            cl = pdf["cluster"].to_numpy()
+            uniq, inv = np.unique(cl, return_inverse=True)
+            sums = np.zeros((uniq.size, V.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, V)
+            yield pd.DataFrame({"cluster": uniq.astype(np.int32),
+                                "s": list(sums),
+                                "n": np.bincount(inv).astype(np.int64)})
+
+    def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.stack(pdf["s"].to_numpy()).sum(axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
+                             "mean": [s / max(1, n)]})
+
     assigned = None
     for _ in range(max(1, iters)):
         assigned = unit.mapInPandas(
             _assign_fn(cents), schema="vec_id long, v array<double>, cluster int")
         means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
-            .collect()
+            assigned.mapInPandas(_partial_sums,
+                                 schema="cluster int, s array<double>, n long")
+            .groupBy("cluster")
+            .applyInPandas(_combine, schema="cluster int, mean array<double>")
+            .collect()  # exactly n_centroids rows, one mean VECTOR each
         )
         new = cents.copy()  # empty clusters keep their previous centroid
-        got = {}
         for r in means:
-            got.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        for cl, d in got.items():
-            vec = np.array([d[i] for i in range(dim)])
+            vec = np.asarray(r["mean"], dtype=np.float64)
             n = np.linalg.norm(vec)
             if n > 0:
-                new[cl] = vec / n
+                new[r["cluster"]] = vec / n
         cents = new
     assigned = unit.mapInPandas(
         _assign_fn(cents), schema="vec_id long, v array<double>, cluster int")

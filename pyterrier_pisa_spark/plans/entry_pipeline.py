@@ -9,6 +9,7 @@ equality, not just shapes.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -354,19 +355,114 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 """
 
 
+IVF_CENTROIDS = 16
+IVF_ITERS = 2
+IVF_NPROBE = 4
+IVF_SEED = 42
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN scale path: seeded deterministic k-means
-    coarse quantizer + nprobe search. Iterative Lloyd rounds are not
-    SQL-expressible (driver records the rows-only check); recall vs brute
-    force and run-to-run determinism are pytest-pinned
-    (tests/test_pipeline_ops.py::test_ivf_ann_recall_and_determinism)."""
+    coarse quantizer + nprobe search — fully ORACLED: the Lloyd loop has a
+    FIXED iteration count and a data-independent seeded init, so the whole
+    pipeline (normalize -> iters x (assign, mean, renormalize) -> final
+    assign -> nprobe probe -> in-cluster exact dot) unrolls into ANSI SQL
+    with the initial centroids embedded as literals (``_ivf_ann_oracle``).
+    Recall vs brute force and run-to-run determinism are additionally
+    pytest-pinned (tests/test_pipeline_ops.py)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
-    cents, assigned = SIM.ivf_build(emb, n_centroids=16, iters=2, seed=42, dim=ANN_DIM)
-    out = SIM.ivf_search(assigned, cents, queries, k=ANN_K, nprobe=4)
+    cents, assigned = SIM.ivf_build(emb, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS,
+                                    seed=IVF_SEED, dim=ANN_DIM)
+    out = SIM.ivf_search(assigned, cents, queries, k=ANN_K, nprobe=IVF_NPROBE)
     return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"), "cos",
                       F.col("rank").cast("int").alias("rank"))
+
+
+def _ivf_ann_oracle() -> str:
+    """SQL replica of q_ivf_ann_topk: the seeded INITIAL centroids (the only
+    non-SQL input, and data-independent) are embedded as literal arrays; each
+    Lloyd round is one assign CTE (stable argmax = row_number over (dot DESC,
+    cluster ASC), numpy-argmax tie semantics) + one mean/renormalize CTE
+    (empty clusters keep the previous centroid, zero-norm means too, matching
+    ``ivf_build``). Float caveat: means/dots differ from numpy BLAS by ulps;
+    assignments and the 6-dp-rounded cosine are stable far beyond that."""
+    rng = np.random.default_rng(IVF_SEED)
+    cents = rng.standard_normal((IVF_CENTROIDS, ANN_DIM))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    init_rows = ",\n    ".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for ci, row in enumerate(cents))
+
+    def assign_cte(name: str, cents_cte: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT u.vec_id, u.v, i.cluster,
+           row_number() OVER (PARTITION BY u.vec_id
+                              ORDER BY list_dot_product(u.v, i.c) DESC,
+                                       i.cluster ASC) AS rn
+    FROM unitv u CROSS JOIN {cents_cte} i) WHERE rn = 1
+)"""
+
+    def update_cte(rnd: int, assign_name: str, prev_cents: str) -> str:
+        return f"""m{rnd} AS (
+  SELECT cluster, i, avg(v[i+1]) AS m
+  FROM {assign_name}, unnest(range(0, {ANN_DIM})) t(i) GROUP BY cluster, i
+),
+g{rnd} AS (SELECT cluster, array_agg(m ORDER BY i) AS mv FROM m{rnd} GROUP BY cluster),
+c{rnd} AS (
+  SELECT p.cluster,
+         CASE WHEN g.mv IS NULL OR sqrt(list_dot_product(g.mv, g.mv)) <= 0 THEN p.c
+              ELSE list_transform(g.mv, x -> x / sqrt(list_dot_product(g.mv, g.mv)))
+         END AS c
+  FROM {prev_cents} p LEFT JOIN g{rnd} g USING (cluster)
+)"""
+
+    ctes = [f"init(cluster, c) AS (VALUES\n    {init_rows})",
+            f"""unitv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(1e-30,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))) AS v
+  FROM embeddings
+)"""]
+    prev = "init"
+    for rnd in range(1, max(1, IVF_ITERS) + 1):
+        ctes.append(assign_cte(f"a{rnd}", prev))
+        ctes.append(update_cte(rnd, f"a{rnd}", prev))
+        prev = f"c{rnd}"
+    ctes.append(assign_cte("af", prev))
+    ctes.append(f"""qn AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding::DOUBLE[],
+           x -> x / (CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[])) = 0
+                     THEN 1.0
+                     ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) END)) AS qv
+  FROM embeddings WHERE vec_id < {ANN_NQ}
+)""")
+    ctes.append(f"""probes AS (
+  SELECT qid, qv, cluster FROM (
+    SELECT q.qid, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_dot_product(q.qv, c.c) DESC,
+                                       c.cluster ASC) AS rn
+    FROM qn q CROSS JOIN {prev} c) WHERE rn <= {IVF_NPROBE}
+)""")
+    ctes.append("""scored AS (
+  SELECT p.qid::VARCHAR AS qid, a.vec_id, list_dot_product(a.v, p.qv) AS cos
+  FROM af a JOIN probes p ON a.cluster = p.cluster
+)""")
+    return f"""WITH
+{','.join(ctes)}
+SELECT qid, vec_id::BIGINT AS vec_id, round(cos, 6) AS cos, (rnk - 1)::INT AS rank
+FROM (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {ANN_K}
+"""
 
 
 PIPELINE_QUERIES = {
@@ -395,5 +491,6 @@ PIPELINE_ORACLES = {
     "media_meta": ORACLE_MEDIA_META,
     "ann_cosine_topk": ORACLE_ANN,
     "lsh_ann_topk": _lsh_ann_oracle(),
+    "ivf_ann_topk": _ivf_ann_oracle(),
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
 }

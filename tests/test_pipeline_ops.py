@@ -264,3 +264,66 @@ def test_ivf_ann_recall_and_determinism(spark):
     a = got.sort_values(["qid", "rank"]).reset_index(drop=True)
     b = got2.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_lsh_high_dim_vectorized_bucket_path(spark):
+    """Production embedding dims must NOT build a bits*dim literal Catalyst
+    expression (10^4-10^5-node tree -> codegen fallback, minutes of
+    planning): above the cell threshold `with_bucket` switches to an Arrow
+    matmul (MapInPandas in the plan), below it stays a pure expression.
+    Recall contract is unchanged: self + planted near-dup recovered at
+    dim=768 / bits=20."""
+    rng = np.random.default_rng(11)
+    dim, bits, n = 768, 20, 200
+    base = rng.standard_normal((n, dim))
+    for i in range(3):
+        base[100 + i] = base[i] + rng.standard_normal(dim) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        schema="vec_id long, embedding array<double>",
+    )
+    # plan shape: high-dim -> MapInPandas, small-dim -> literal expression
+    planes_hi = SIM._hyperplanes(dim, bits, seed=42)
+    hi_plan = SIM.with_bucket(
+        emb.select(F.col("embedding").alias("v")), "v", planes_hi
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in hi_plan
+    planes_lo = SIM._hyperplanes(8, 4, seed=42)
+    lo_plan = SIM.with_bucket(
+        emb.select(F.slice(F.col("embedding"), 1, 8).alias("v")), "v", planes_lo
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in lo_plan
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    approx = SIM.lsh_cosine_topk(emb, q, k=3, bits=bits, dim=dim,
+                                 multiprobe_hamming=1).collect()
+    atop = {(r["qid"], r["rank"]): r["vec_id"] for r in approx}
+    for i in range(3):
+        assert atop[(str(i), 0)] == i
+        assert atop[(str(i), 1)] == 100 + i
+
+
+def test_ivf_many_centroids_high_dim(spark):
+    """100 TB IVF shape: the centroid update must collect one ARRAY row per
+    cluster (not n_centroids x dim scalar rows). n_centroids=1024 at dim=768
+    completes in bounded time and yields unit centroids + a full assignment."""
+    rng = np.random.default_rng(13)
+    n, dim, k = 400, 768, 1024
+    base = rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        schema="vec_id long, embedding array<double>",
+    )
+    cents, assigned = SIM.ivf_build(emb, n_centroids=k, iters=2, seed=42, dim=dim)
+    assert cents.shape == (k, dim)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
+    pdf = assigned.toPandas()
+    assert len(pdf) == n
+    assert pdf["cluster"].between(0, k - 1).all()
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qvec"))
+    got = SIM.ivf_search(assigned, cents, q, k=3, nprobe=8).toPandas()
+    # rank-0 self-hit: a query vector probes its own cluster by construction
+    top0 = got[got["rank"] == 0].set_index("qid")["vec_id"]
+    assert top0["0"] == 0 and top0["1"] == 1
