@@ -55,12 +55,19 @@ from .codec import get_codec
 from .retrieve import DEFAULT_NUM_RESULTS, query_terms_df
 
 
-def _decode_posting_arrays(row, decode) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    cnt = int(row.count)
-    d = np.cumsum(decode(row.docids_delta, cnt).astype(np.int64))
-    t = decode(row.tfs, cnt).astype(np.float64)
-    dl = decode(row.doclens, cnt).astype(np.float64)
-    return d, t, dl
+def _decode_rows(rows_pdf, codec) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a FRAME of packed block rows in one segment-batched pass
+    (no per-block Python decode): returns (docids, tfs, doclens, counts,
+    seg_starts), concatenated in row order."""
+    from .codec import delta_decode_segments
+
+    counts = rows_pdf["count"].to_numpy(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    gaps = codec.decode_segments(list(rows_pdf["docids_delta"]), counts)
+    d = delta_decode_segments(gaps.astype(np.int64), starts)
+    t = codec.decode_segments(list(rows_pdf["tfs"]), counts).astype(np.float64)
+    dl = codec.decode_segments(list(rows_pdf["doclens"]), counts).astype(np.float64)
+    return d, t, dl, counts, starts
 
 
 def _merge_acc(acc_d, acc_s, new_d, new_s):
@@ -77,7 +84,7 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
     return uniq, out
 
 
-def _taat_score(terms, by_term, partial, decode, k, conjunctive, use_block_max):
+def _taat_score(terms, by_term, partial, codec, k, conjunctive, use_block_max):
     """Shared TAAT core: terms = [(term_id, qweight, stat, max_score,
     block_scale, min_score)] sorted by max_score desc, over per-term block
     frames -> (docids, scores) — exact: only docs provably outside any
@@ -121,22 +128,24 @@ def _taat_score(terms, by_term, partial, decode, k, conjunctive, use_block_max):
         grp = by_term.get(int(tid))
         if grp is None:
             continue
-        seg_d, seg_s = [], []
-        for row in grp.itertuples():
-            if can_prune and acc_d.size >= k and theta > -np.inf:
-                lo = np.searchsorted(acc_d, row.docid_first, "left")
-                hi = np.searchsorted(acc_d, row.docid_last, "right")
-                acc_max = acc_s[lo:hi].max() if hi > lo else 0.0
-                bound = bscale * row.block_max_score if use_block_max else ms
-                if max(qw * bound, 0.0) + max(acc_max, 0.0) + rest_ub[i] \
-                        < theta + neg_rest[i]:
-                    continue
-            d, tf, dl = _decode_posting_arrays(row, decode)
-            seg_d.append(d)
-            seg_s.append(qw * partial(tf, dl, float(st)))
-        if seg_d:
-            new_d = np.concatenate(seg_d)
-            new_s = np.concatenate(seg_s)
+        # theta/acc are frozen across a term's blocks (the accumulator merge
+        # happens after the term), so the skip test VECTORIZES over blocks
+        if can_prune and acc_d.size >= k and theta > -np.inf:
+            lo = np.searchsorted(acc_d, grp["docid_first"].to_numpy(np.int64), "left")
+            hi = np.searchsorted(acc_d, grp["docid_last"].to_numpy(np.int64), "right")
+            bounds = (bscale * grp["block_max_score"].to_numpy(np.float64)
+                      if use_block_max else np.full(len(grp), ms))
+            acc_maxes = np.zeros(len(grp), dtype=np.float64)
+            for j in np.flatnonzero(hi > lo):  # slice-max only; no decode
+                acc_maxes[j] = acc_s[lo[j]:hi[j]].max()
+            keep = ~(np.maximum(qw * bounds, 0.0) + np.maximum(acc_maxes, 0.0)
+                     + rest_ub[i] < theta + neg_rest[i])
+            if not keep.all():
+                grp = grp[keep]
+        if len(grp):
+            # surviving blocks decode in ONE segment-batched pass
+            new_d, tf, dl, _cnt, _st = _decode_rows(grp, codec)
+            new_s = qw * partial(tf, dl, float(st))
             acc_d, acc_s = _merge_acc(acc_d, acc_s, new_d, new_s)
             if conjunctive:
                 nmatch_d, nmatch_c = _merge_acc(
@@ -179,7 +188,7 @@ def _empty_frame():
                          "rank": pd.Series(dtype=np.int32)})
 
 
-def make_query_kernel(qinfo: dict, partial, decode, k: int,
+def make_query_kernel(qinfo: dict, partial, codec, k: int,
                       conjunctive: bool = False, use_block_max: bool = True):
     """Per-(qid, task_group) applyInPandas kernel. ``qinfo``: qid -> list of
     (term_id, qweight, stat, max_score), sorted by max_score desc. Emits the
@@ -198,7 +207,7 @@ def make_query_kernel(qinfo: dict, partial, decode, k: int,
             return _empty_frame()
         by_term = {int(tid): grp.sort_values("block_id")
                    for tid, grp in pdf.groupby("term_id")}
-        acc_d, acc_s = _taat_score(terms, by_term, partial, decode, k,
+        acc_d, acc_s = _taat_score(terms, by_term, partial, codec, k,
                                    conjunctive, use_block_max)
         if acc_d.size == 0:
             return _empty_frame()
@@ -207,7 +216,7 @@ def make_query_kernel(qinfo: dict, partial, decode, k: int,
     return kernel
 
 
-def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
+def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
                       conjunctive: bool = False, query_block: int = 64,
                       dense_cells: int = 8 << 20):
     """Kernel for the docid-partitioned BATCH mode: each task holds one chunk
@@ -257,17 +266,27 @@ def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
         q_scores: list[list] = [[] for _ in qids]
         for chunk, cpdf in pdf.groupby("chunk"):
             base = int(chunk) * chunk_span
-            span_rows: list[tuple] = []  # (term_row, local_docids, partials)
-            for tid, grp in cpdf.groupby("term_id"):
-                tid = int(tid)
-                ds, ss = [], []
-                for row in grp.itertuples():
-                    d, tf, dl = _decode_posting_arrays(row, decode)
-                    ds.append(d - base)
-                    ss.append(partial(tf, dl, tid_stat[tid]))
-                span_rows.append((tid_row[tid], np.concatenate(ds), np.concatenate(ss)))
+            # ALL of the chunk's blocks decode + score in ONE segment-batched
+            # pass (partials are query-independent; stat vector is per-posting
+            # via repeat, every np partial accepts array stats); a stable
+            # argsort then groups the postings by term row — no per-block
+            # Python loop anywhere on the decode path
+            d_all, tf_all, dl_all, counts, _starts = _decode_rows(cpdf, codec)
+            d_all -= base
+            row_trows = np.array([tid_row[int(t)] for t in cpdf["term_id"]],
+                                 dtype=np.int64)
+            stat_all = np.repeat(
+                np.array([tid_stat[int(t)] for t in cpdf["term_id"]],
+                         dtype=np.float64), counts)
+            s_all = partial(tf_all, dl_all, stat_all)
+            post_trow = np.repeat(row_trows, counts)
+            order = np.argsort(post_trow, kind="stable")
+            pt, pd_, ps = post_trow[order], d_all[order], s_all[order]
+            cut = np.concatenate(([0], np.flatnonzero(np.diff(pt)) + 1, [pt.size]))
+            span_rows = [(int(pt[cut[x]]), pd_[cut[x]:cut[x + 1]], ps[cut[x]:cut[x + 1]])
+                         for x in range(cut.size - 1)]
             # compact columns: union of matched local docids in this chunk
-            all_loc = np.unique(np.concatenate([d for _, d, _ in span_rows]))
+            all_loc = np.unique(d_all)
             col_of = np.zeros(chunk_span, dtype=np.int64)
             col_of[all_loc] = np.arange(all_loc.size)
             ncols = all_loc.size
@@ -341,9 +360,14 @@ def make_batch_kernel(qinfo: dict, partial, decode, k: int, chunk_span: int,
     return kernel
 
 
-def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
+def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords,
+                       queries_toks=None, toks_scale=100.0):
     """Shared prep for both kernels: parse queries, join lexicon + scorer-
-    keyed max_scores, return (spark, qinfo, meta, resolved params)."""
+    keyed max_scores, return (spark, qinfo, meta, resolved params).
+
+    ``queries_toks`` = [(qid, {term: weight})] routes the PRETOKENIZED path
+    (reference ``__init__.py:480-495`` + ``_pisathon.cpp:463-492``): weights
+    scaled by ``toks_scale`` and truncated to int, NO stemming/stopwords."""
     from ..sources.index_store import ensure_term_stats
 
     spark = index.docmap.sparkSession
@@ -351,8 +375,13 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
     k1 = meta["scorer"].get("k1", 0.9) if k1 is None else k1
     b = meta["scorer"].get("b", 0.4) if b is None else b
 
-    qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
-                            stopwords=stopwords)
+    if queries_toks is not None:
+        from .retrieve import query_toks_df
+
+        qterms = query_toks_df(spark, queries_toks, toks_scale=toks_scale)
+    else:
+        qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
+                                stopwords=stopwords)
     stat_col = S.term_stat_col(scorer)
     ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
     lex = index.lexicon.select("term", "term_id", F.col(stat_col).alias("stat")).join(
@@ -397,8 +426,8 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords):
         )
     for qid in qinfo:
         qinfo[qid].sort(key=lambda t: -t[3])
-    decode = get_codec(meta.get("encoding")).decode
-    return spark, qinfo, partial, decode, use_block_max
+    codec = get_codec(meta.get("encoding"))
+    return spark, qinfo, partial, codec, use_block_max
 
 
 def _finalize_blockmax(spark, index, local: DataFrame, queries, k,
@@ -444,7 +473,7 @@ def _with_task_group(index, tids) -> tuple[DataFrame, int]:
 
 def retrieve_blockmax(
     index,  # PersistedIndex
-    queries: list[tuple[str, str]],
+    queries: list[tuple[str, str]] | None,
     k: int = DEFAULT_NUM_RESULTS,
     scorer: str = "bm25",
     stopwords=DEFAULT_STOPWORDS,
@@ -455,16 +484,24 @@ def retrieve_blockmax(
     b: float | None = None,
     mu: float = 1000.0,
     c: float = 1.0,
+    queries_toks: list[tuple[str, dict]] | None = None,
+    toks_scale: float = 100.0,
 ) -> DataFrame:
     """Pruned top-k retrieval over a persisted block index, any scorer.
     Returns (qid[, query], docid, docno, score, rank) — rank- and
-    score-identical to the exhaustive plan.
+    score-identical to the exhaustive plan. Pass ``queries_toks``
+    ([(qid, {term: weight})]) instead of ``queries`` for the pretokenized
+    (learned-sparse) path — no query string exists there, so the query
+    column is omitted.
 
     Parallelism: (qid, task_group) — a query's candidate blocks spread over
     up to ``batch_groups`` tasks, each pruning independently and emitting a
     local top-k (no single-task hot-query bottleneck)."""
-    spark, qinfo, partial, decode, use_block_max = _query_plan_inputs(
-        index, queries, k1, b, mu, c, scorer, stopwords)
+    if queries_toks is not None:
+        include_query = False
+    spark, qinfo, partial, codec, use_block_max = _query_plan_inputs(
+        index, queries, k1, b, mu, c, scorer, stopwords,
+        queries_toks=queries_toks, toks_scale=toks_scale)
 
     tid_qids: list[tuple[int, str]] = []
     for qid, terms in qinfo.items():
@@ -480,7 +517,7 @@ def retrieve_blockmax(
         "qid", "task_group", "term_id", "block_id", "count", "docid_first",
         "docid_last", "block_max_score", "docids_delta", "tfs", "doclens"
     )
-    kernel = make_query_kernel(qinfo, partial, decode, k, conjunctive=conjunctive,
+    kernel = make_query_kernel(qinfo, partial, codec, k, conjunctive=conjunctive,
                                use_block_max=use_block_max)
     # explicit repartition on the group keys: satisfies the groupBy's
     # distribution (no second exchange) AND is exempt from AQE partition
@@ -497,7 +534,7 @@ def retrieve_blockmax(
 
 def retrieve_blockmax_batch(
     index,  # PersistedIndex
-    queries: list[tuple[str, str]],
+    queries: list[tuple[str, str]] | None,
     k: int = DEFAULT_NUM_RESULTS,
     scorer: str = "bm25",
     stopwords=DEFAULT_STOPWORDS,
@@ -508,6 +545,8 @@ def retrieve_blockmax_batch(
     b: float | None = None,
     mu: float = 1000.0,
     c: float = 1.0,
+    queries_toks: list[tuple[str, dict]] | None = None,
+    toks_scale: float = 100.0,
 ) -> DataFrame:
     """Batch-throughput retrieval, any scorer: partition the candidate blocks
     by chunk task group and score the whole query batch inside each task with
@@ -519,14 +558,17 @@ def retrieve_blockmax_batch(
     runs). Per-chunk conjunctive filtering stays exact because every posting
     of docid d (any term) lives in chunk(d) by the build contract.
     Results are rank- and score-identical to the exhaustive plan."""
-    spark, qinfo, partial, decode, _ubm = _query_plan_inputs(
-        index, queries, k1, b, mu, c, scorer, stopwords)
+    if queries_toks is not None:
+        include_query = False
+    spark, qinfo, partial, codec, _ubm = _query_plan_inputs(
+        index, queries, k1, b, mu, c, scorer, stopwords,
+        queries_toks=queries_toks, toks_scale=toks_scale)
     tids = sorted({t[0] for terms in qinfo.values() for t in terms})
     if not tids:
         return _empty_result(spark, include_query, cast_float32)
 
     cand, chunk_span = _with_task_group(index, tids)
-    kernel = make_batch_kernel(qinfo, partial, decode, k, chunk_span,
+    kernel = make_batch_kernel(qinfo, partial, codec, k, chunk_span,
                                conjunctive=conjunctive)
     # explicit repartition: same AQE-coalescing exemption as the per-query
     # path — without it the kernel runs as one task on small candidate sets

@@ -36,52 +36,95 @@ PISA_INDEX_DEFAULTS = {
 }
 
 
-def _as_query_list(queries) -> list[tuple[str, str]]:
-    """Accept [(qid, text)], pandas DataFrame, or Spark DataFrame with
-    (qid, query) — queries are tiny by contract (reference takes pandas)."""
+def _as_query_list(queries) -> tuple[bool, list]:
+    """Accept [(qid, text)] / [(qid, {term: weight})], pandas DataFrame, or
+    Spark DataFrame with (qid, query) or (qid, query_toks) — queries are tiny
+    by contract (reference takes pandas). Returns (pretokenized, rows):
+    a ``query_toks`` column (dict term -> float weight, reference
+    ``__init__.py:485-492``) selects the pretokenized path."""
     if isinstance(queries, DataFrame):
-        return [(r["qid"], r["query"]) for r in queries.select("qid", "query").collect()]
+        if "query_toks" in queries.columns:
+            return True, [(r["qid"], dict(r["query_toks"]))
+                          for r in queries.select("qid", "query_toks").collect()]
+        return False, [(r["qid"], r["query"])
+                       for r in queries.select("qid", "query").collect()]
     try:
         import pandas as pd
 
         if isinstance(queries, pd.DataFrame):
-            return list(zip(queries["qid"].astype(str), queries["query"]))
+            if "query_toks" in queries.columns:
+                for t in queries["query_toks"]:
+                    if not isinstance(t, dict):
+                        raise TypeError("query_toks column should be a dictionary")
+                return True, list(zip(queries["qid"].astype(str), queries["query_toks"]))
+            return False, list(zip(queries["qid"].astype(str), queries["query"]))
     except ImportError:  # pragma: no cover
         pass
-    return [(str(q), t) for q, t in queries]
+    rows = list(queries)
+    if rows and isinstance(rows[0][1], dict):
+        return True, [(str(q), t) for q, t in rows]
+    return False, [(str(q), t) for q, t in rows]
 
 
 class SparkRetriever:
     """The reference's ``PisaRetrieve`` transformer: ``transform(queries)``
-    and ``search(text)`` sugar (R17)."""
+    and ``search(text)`` sugar (R17). ``transform`` accepts raw-text frames
+    AND pretokenized ``query_toks`` frames (learned-sparse querying,
+    reference ``__init__.py:480-495``) with ``toks_scale`` weight scaling.
+
+    ``verbose``/``threads`` are accepted for signature parity and ignored
+    (Spark's UI/task scheduler owns progress + parallelism here);
+    ``query_weighted`` likewise — the reference realizes query weights by
+    REPEATING term ids (``_pisathon.cpp:486-489`` — "PISA doesn't use the
+    query_weights"), which is exactly what the weight-as-multiplier qweight
+    column computes on both of this engine's paths."""
 
     def __init__(self, index: "PisaSparkIndex", scorer: str, num_results: int,
-                 query_algorithm: str, stops, **scorer_params):
+                 query_algorithm: str, stops, query_weighted: bool | None = None,
+                 toks_scale: float = 100.0, verbose: bool = False,
+                 threads: int | None = None, **scorer_params):
         self.index = index
         self.scorer = scorer
         self.num_results = num_results
         self.query_algorithm = query_algorithm
         self.stops = stops
+        self.query_weighted = (scorer == "quantized") if query_weighted is None \
+            else query_weighted
+        self.toks_scale = toks_scale
+        self.verbose = verbose      # parity no-op
+        self.threads = threads      # parity no-op
         self.scorer_params = scorer_params
 
     def transform(self, queries) -> DataFrame:
-        qs = _as_query_list(queries)
+        pretok, qs = _as_query_list(queries)
         pidx = self.index._persisted()
+        qkw = ({"queries_toks": qs, "toks_scale": self.toks_scale}
+               if pretok else {})
         if self.query_algorithm in ("block_max_wand", "maxscore", "wand"):
             from ..operators.wand import retrieve_blockmax
 
-            return retrieve_blockmax(pidx, qs, k=self.num_results,
-                                     scorer=self.scorer, stopwords=self.stops,
-                                     **self.scorer_params)
+            return retrieve_blockmax(pidx, None if pretok else qs,
+                                     k=self.num_results, scorer=self.scorer,
+                                     stopwords=self.stops,
+                                     **qkw, **self.scorer_params)
         if self.query_algorithm == "batch":
             from ..operators.wand import retrieve_blockmax_batch
 
-            return retrieve_blockmax_batch(pidx, qs, k=self.num_results,
-                                           scorer=self.scorer, stopwords=self.stops,
-                                           **self.scorer_params)
+            return retrieve_blockmax_batch(pidx, None if pretok else qs,
+                                           k=self.num_results, scorer=self.scorer,
+                                           stopwords=self.stops,
+                                           **qkw, **self.scorer_params)
         if self.query_algorithm in ("ranked_or", "ranked_and"):
-            from ..plans.pipeline import retrieve
+            from ..plans.pipeline import retrieve, retrieve_toks
 
+            if pretok:
+                if self.query_algorithm == "ranked_and":
+                    raise ValueError("ranked_and is term-presence conjunctive; "
+                                     "use ranked_or/batch/block_max_wand for "
+                                     "pretokenized queries")
+                return retrieve_toks(pidx.as_logical(), qs,
+                                     toks_scale=self.toks_scale, k=self.num_results,
+                                     scorer=self.scorer, **self.scorer_params)
             return retrieve(pidx.as_logical(), qs, scorer=self.scorer,
                             k=self.num_results, stopwords=self.stops,
                             mode=self.query_algorithm, **self.scorer_params)
@@ -147,42 +190,44 @@ class PisaSparkIndex:
 
     def bm25(self, k1: float = 0.9, b: float = 0.4, num_results: int = 1000,
              query_algorithm: str | None = None, stops=None,
-             precompute_impact: bool = False) -> SparkRetriever:
+             precompute_impact: bool = False, **kw) -> SparkRetriever:
         if precompute_impact:
             return self._impact_retriever("bm25", num_results, query_algorithm,
-                                          stops, k1=k1, b=b)
+                                          stops, retr_kw=kw, k1=k1, b=b)
         return SparkRetriever(self, "bm25", num_results,
                               query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
-                              self.stops if stops is None else stops, k1=k1, b=b)
+                              self.stops if stops is None else stops, k1=k1, b=b, **kw)
 
     def dph(self, num_results: int = 1000, query_algorithm: str | None = None,
-            stops=None) -> SparkRetriever:
+            stops=None, **kw) -> SparkRetriever:
         return SparkRetriever(self, "dph", num_results,
                               query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
-                              self.stops if stops is None else stops)
+                              self.stops if stops is None else stops, **kw)
 
     def pl2(self, c: float = 1.0, num_results: int = 1000,
-            query_algorithm: str | None = None, stops=None) -> SparkRetriever:
+            query_algorithm: str | None = None, stops=None, **kw) -> SparkRetriever:
         return SparkRetriever(self, "pl2", num_results,
                               query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
-                              self.stops if stops is None else stops, c=c)
+                              self.stops if stops is None else stops, c=c, **kw)
 
     def qld(self, mu: float = 1000.0, num_results: int = 1000,
-            query_algorithm: str | None = None, stops=None) -> SparkRetriever:
+            query_algorithm: str | None = None, stops=None, **kw) -> SparkRetriever:
         return SparkRetriever(self, "qld", num_results,
                               query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
-                              self.stops if stops is None else stops, mu=mu)
+                              self.stops if stops is None else stops, mu=mu, **kw)
 
     def quantized(self, num_results: int = 1000, query_algorithm: str | None = None,
-                  stops=None) -> SparkRetriever:
+                  stops=None, **kw) -> SparkRetriever:
         """Quantized dot-product retrieval over an impact index (reference
-        ``PisaIndex.quantized`` — for toks-built or quantize_index outputs)."""
+        ``PisaIndex.quantized`` — for toks-built or quantize_index outputs).
+        Pretokenized ``query_toks`` frames route through ``transform`` with
+        ``toks_scale`` (reference ``__init__.py:223,480-495``)."""
         return SparkRetriever(self, "quantized", num_results,
                               query_algorithm or PISA_INDEX_DEFAULTS["query_algorithm"],
-                              self.stops if stops is None else stops)
+                              self.stops if stops is None else stops, **kw)
 
     def _impact_retriever(self, scorer, num_results, query_algorithm, stops,
-                          **params) -> SparkRetriever:
+                          retr_kw=None, **params) -> SparkRetriever:
         """precompute_impact=True (reference ``__init__.py:223,449``): fold
         the scorer into 8-bit impacts once (cached beside the index,
         cache-keyed like the reference's wand data), retrieve quantized."""
@@ -198,7 +243,8 @@ class PisaSparkIndex:
                                  stops=self.stops)
             self._quantized[key] = sub
         return self._quantized[key].quantized(
-            num_results=num_results, query_algorithm=query_algorithm, stops=stops)
+            num_results=num_results, query_algorithm=query_algorithm, stops=stops,
+            **(retr_kw or {}))
 
     # -------------------------------------------------------------- metadata
 

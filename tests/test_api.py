@@ -93,3 +93,56 @@ def test_stops_filter_default_terrier(spark, api_idx):
     # 'the' is a terrier stopword -> query reduces to 'chemic'
     res = api_idx.bm25(num_results=4).search("the chemical").toPandas()
     assert set(res["docno"]) == {"d1", "d2"}
+
+
+def test_pretokenized_query_toks_through_api(spark, tmp_path_factory):
+    """Learned-sparse parity (reference __init__.py:223,480-495): a
+    toks-built index queried through SparkRetriever.transform with a
+    query_toks frame must reproduce the reference's quantization arithmetic
+    (tests/test_dict.py:49-79 goldens) on every kernel, honor toks_scale,
+    and accept-and-ignore verbose/threads/query_weighted."""
+    import pandas as pd
+
+    path = str(tmp_path_factory.mktemp("apitoks") / "idx")
+    corpus = spark.createDataFrame(
+        [("d1", {"a": 7.3, "b": 3.99}), ("d2", {"b": 1.2, "c": 8.0})],
+        schema="docno string, toks map<string,double>",
+    )
+    idx = PisaSparkIndex(path, spark=spark, stemmer="none")
+    idx.toks_index(corpus, scale=1.0)
+
+    qdf = pd.DataFrame({"qid": ["q1"], "query_toks": [{"a": 2.3, "b": 4.1}]})
+    for alg in ("block_max_wand", "batch", "ranked_or"):
+        retr = idx.quantized(num_results=10, query_algorithm=alg,
+                             toks_scale=1.0, verbose=True, threads=8,
+                             query_weighted=True)
+        res = retr.transform(qdf).toPandas()
+        scores = dict(zip(res["docno"], res["score"]))
+        assert scores["d1"] == pytest.approx(26.0), alg   # 7*2 + 3*4
+        assert scores["d2"] == pytest.approx(4.0), alg    # b: 1*4
+
+    # toks_scale honored (reference scale=85.4 x toks_scale=11.2 golden)
+    path2 = str(tmp_path_factory.mktemp("apitoks2") / "idx")
+    idx2 = PisaSparkIndex(path2, spark=spark, stemmer="none")
+    idx2.toks_index(corpus.filter("docno = 'd1'"), scale=85.4)
+    res2 = idx2.quantized(toks_scale=11.2).transform(qdf).toPandas()
+    expect = int(7.3 * 85.4) * int(2.3 * 11.2) + int(3.99 * 85.4) * int(4.1 * 11.2)
+    assert expect == 30875
+    assert res2["score"].iloc[0] == pytest.approx(float(expect))
+
+    # Spark-DataFrame query_toks frames route identically
+    sdf = spark.createDataFrame([("q1", {"a": 2.3, "b": 4.1})],
+                                schema="qid string, query_toks map<string,double>")
+    res3 = idx.quantized(toks_scale=1.0).transform(sdf).toPandas()
+    assert dict(zip(res3["docno"], res3["score"]))["d1"] == pytest.approx(26.0)
+
+
+def test_parity_noop_kwargs_on_text_retrievers(spark, api_idx):
+    """verbose/threads (reference __init__.py:124,223) must not TypeError on
+    any retriever factory — they are Spark-side no-ops."""
+    res = api_idx.bm25(num_results=3, verbose=True, threads=4).search(
+        "chemical reactions").toPandas()
+    assert len(res) >= 1
+    res2 = api_idx.dph(verbose=False, threads=1, query_weighted=False).search(
+        "chemical reactions").toPandas()
+    assert len(res2) >= 1
