@@ -484,10 +484,12 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
 
     One mapInPandas pass over the packed blocks (decode tf/doclen -> partial
     -> impact -> re-encode; embarrassingly parallel, no shuffle except the
-    small term-stats agg); docmap/lexicon are copied through. The result is
-    a normal persisted index whose meta records the quantization lineage."""
-    import shutil
-
+    small term-stats agg). docmap/fwd/lexicon are NOT copied: the new meta
+    records TABLE REFERENCES to the source index's parquet (tables, not
+    files — a driver-side copy would bottleneck on driver bandwidth on an
+    object store), and ``load_index`` resolves referenced tables
+    transparently. The result is a normal persisted index whose meta records
+    the quantization lineage."""
     spark = index.docmap.sparkSession
     meta = index.meta
     k1 = meta["scorer"]["k1"] if k1 is None else k1
@@ -503,10 +505,16 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     levels = float((1 << bits) - 1)
 
     os.makedirs(dst_path, exist_ok=True)
+    table_refs = {}
     for sub in ("docmap", "fwd", "lexicon"):
         srcd = os.path.join(index.path, sub)
         if os.path.exists(srcd):
-            shutil.copytree(srcd, os.path.join(dst_path, sub), dirs_exist_ok=True)
+            # resolve chained refs: quantizing an index that itself
+            # references tables points at the ORIGINAL parquet
+            table_refs[sub] = (meta.get("table_refs") or {}).get(sub) \
+                or os.path.abspath(srcd)
+        elif (meta.get("table_refs") or {}).get(sub):
+            table_refs[sub] = meta["table_refs"][sub]
 
     stats_map = F.broadcast(index.lexicon.select("term_id", F.col(stat_col).alias("stat")))
     blocks = index.blocks.join(stats_map, "term_id")
@@ -543,6 +551,7 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     new_meta = dict(meta)
     new_meta["scorer"] = {"name": "quantized"}
     new_meta["block_max_kind"] = "absolute"  # stored maxes ARE max impacts
+    new_meta["table_refs"] = table_refs
     new_meta["quantized_from"] = {"scorer": scorer, "bits": bits, "k1": k1, "b": b,
                                   "mu": mu, "c": c, "global_max": gmax}
     with open(os.path.join(dst_path, "meta.json"), "w") as fh:
@@ -671,13 +680,25 @@ class PersistedIndex:
                             stats=self.stats, blocks=self.blocks, meta=self.meta)
 
 
-def _load_docmap(spark: SparkSession, path: str) -> DataFrame:
+def _table_path(path: str, meta: dict, name: str) -> str | None:
+    """Resolve an index table: local subdir first, else the table REFERENCE
+    recorded in meta (derived indexes — e.g. ``quantize_index`` outputs —
+    point at the source's parquet instead of copying it)."""
+    local = os.path.join(path, name)
+    if os.path.exists(local):
+        return local
+    return (meta.get("table_refs") or {}).get(name)
+
+
+def _load_docmap(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     """docmap = column-pruned projection of fwd (batch build) or the
-    standalone docmap table (streaming ingest)."""
-    if os.path.exists(os.path.join(path, "docmap")):
-        return spark.read.parquet(os.path.join(path, "docmap")).select(
+    standalone docmap table (streaming ingest); either may be a table
+    reference on derived indexes."""
+    dm = _table_path(path, meta, "docmap")
+    if dm:
+        return spark.read.parquet(dm).select(
             "docid", "docno", "doclen", "content_sha256")
-    return spark.read.parquet(os.path.join(path, "fwd")).select(
+    return spark.read.parquet(_table_path(path, meta, "fwd")).select(
         "docid", "docno", "doclen", "content_sha256")
 
 
@@ -729,7 +750,7 @@ def load_index(spark: SparkSession, path: str,
     from pyspark import StorageLevel
 
     meta = json.load(open(os.path.join(path, "meta.json")))
-    lexicon = spark.read.parquet(os.path.join(path, "lexicon"))
+    lexicon = spark.read.parquet(_table_path(path, meta, "lexicon"))
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     lexicon = lexicon.join(term_stats, "term_id", "left").fillna({"max_score": 0.0})
     if cache_lexicon:
@@ -739,6 +760,6 @@ def load_index(spark: SparkSession, path: str,
         meta=meta,
         lexicon=lexicon,
         blocks=spark.read.parquet(os.path.join(path, "postings")),
-        docmap=_load_docmap(spark, path),
+        docmap=_load_docmap(spark, path, meta),
         stats=meta["stats"],
     )

@@ -296,3 +296,33 @@ def test_bytepack_encoding_index_rank_identical(spark, tmp_path):
     fa = iv.flat_tf().toPandas().sort_values(["term_id", "docid"]).reset_index(drop=True)
     fb = ib.flat_tf().toPandas().sort_values(["term_id", "docid"]).reset_index(drop=True)
     assert fa.equals(fb)
+
+
+def test_quantize_index_references_tables_not_copies(spark, tmp_path):
+    """quantize_index must NOT driver-copy docmap/fwd/lexicon into the
+    destination (object-store bandwidth hazard): the new meta carries table
+    REFERENCES and load_index resolves them, so retrieval + corpus-facing
+    accessors work with only postings/term_stats materialized locally."""
+    import os
+
+    from pyterrier_pisa_spark.operators.wand import retrieve_blockmax_batch
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+    from pyterrier_pisa_spark.sources.index_store import (build_index, load_index,
+                                                          quantize_index)
+
+    src = str(tmp_path / "src_tr")
+    corpus = synth_code_corpus(spark, num_docs=120, seed=4)
+    build_index(corpus, src, stemmer="none", mode="overwrite")
+    idx = load_index(spark, src)
+    dst = str(tmp_path / "q_tr")
+    meta = quantize_index(idx, dst)
+    # no copied source tables on disk, references recorded instead
+    for sub in ("fwd", "lexicon", "docmap"):
+        assert not os.path.exists(os.path.join(dst, sub)), sub
+    assert meta["table_refs"]["lexicon"] == os.path.abspath(os.path.join(src, "lexicon"))
+    qidx = load_index(spark, dst)
+    assert qidx.num_docs() == 120
+    got = retrieve_blockmax_batch(qidx, [("q1", "def return")], k=5,
+                                  scorer="quantized", include_query=False)
+    rows = got.collect()
+    assert rows and all(r["docno"] for r in rows)
