@@ -88,6 +88,30 @@ def varint_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[b
     return [buf[a:b] for a, b in zip(seg_bounds, ends)]
 
 
+def varint_decode_segments(bufs, counts) -> np.ndarray:
+    """Decode MANY blocks' buffers in one vectorized pass (LEB128 is
+    self-delimiting, so concatenation decodes identically) — the read-side
+    twin of ``varint_encode_segments``. Returns the concatenated uint64
+    values; split at ``cumsum(counts)`` boundaries."""
+    total = int(np.sum(counts))
+    return varint_decode(b"".join(bufs), total)
+
+
+def delta_decode_segments(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum over a flat concatenated gap array (each
+    segment's first gap is the raw value): ONE global cumsum minus the
+    per-segment base, no Python loop."""
+    g = np.asarray(gaps, dtype=np.int64)
+    if g.size == 0:
+        return g
+    c = np.cumsum(g)
+    starts = np.asarray(seg_starts, dtype=np.int64)
+    base = np.zeros(starts.size, dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    reps = np.diff(np.concatenate((starts, [g.size])))
+    return c - np.repeat(base, reps)
+
+
 def delta_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Per-segment delta gaps over a flat concatenated array (first element
     of each segment stored raw)."""
@@ -168,20 +192,34 @@ def bytepack_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list
     return [bytepack_encode(v[a:b]) for a, b in zip(starts, ends)]
 
 
-class Codec:
-    """A posting-block encoding: segment-batched encode + single-block
-    decode. Registered by name; the index's meta records which codec wrote
-    its blocks (reference ``index_encoding``, ``__init__.py:72-89``)."""
+def _generic_decode_segments(decode):
+    """Per-buffer fallback for codecs whose streams aren't concatenatable
+    (bytepack's per-block width header). Still one numpy concat, and
+    bytepack's per-call work is ~a memcpy."""
+    def _fn(bufs, counts):
+        arrs = [decode(b, int(c)) for b, c in zip(bufs, counts)]
+        return np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint64)
+    return _fn
 
-    def __init__(self, name, encode, decode, encode_segments):
+
+class Codec:
+    """A posting-block encoding: segment-batched encode + decode (single
+    block and many-blocks-in-one-pass). Registered by name; the index's meta
+    records which codec wrote its blocks (reference ``index_encoding``,
+    ``__init__.py:72-89``)."""
+
+    def __init__(self, name, encode, decode, encode_segments,
+                 decode_segments=None):
         self.name = name
         self.encode = encode
         self.decode = decode
         self.encode_segments = encode_segments
+        self.decode_segments = decode_segments or _generic_decode_segments(decode)
 
 
 ENCODINGS = {
-    "varint": Codec("varint", varint_encode, varint_decode, varint_encode_segments),
+    "varint": Codec("varint", varint_encode, varint_decode, varint_encode_segments,
+                    varint_decode_segments),
     "bytepack": Codec("bytepack", bytepack_encode, bytepack_decode,
                       bytepack_encode_segments),
 }

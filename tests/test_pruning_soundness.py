@@ -44,10 +44,20 @@ def _block(block_id, docids, tfs, bmax):
     }
 
 
-def _run(terms, by_term, k=1, use_block_max=True):
+def _fake_codec():
+    """Codec stand-in whose 'buffers' are plain numpy arrays."""
+    from pyterrier_pisa_spark.operators.codec import _generic_decode_segments
+
     decode = lambda buf, cnt: np.asarray(buf, dtype=np.float64)  # noqa: E731
+    from types import SimpleNamespace
+
+    return SimpleNamespace(decode=decode,
+                           decode_segments=_generic_decode_segments(decode))
+
+
+def _run(terms, by_term, k=1, use_block_max=True):
     partial = lambda tf, dl, st: tf - 10.0  # partial encoded as tf-10  # noqa: E731
-    return _taat_score(terms, by_term, partial, decode, k,
+    return _taat_score(terms, by_term, partial, _fake_codec(), k,
                        conjunctive=False, use_block_max=use_block_max)
 
 
@@ -111,8 +121,7 @@ def test_batch_kernel_partial_trailing_term_block():
                     (2, 1.0, 0.0, 2.0, 1.0, 0.0),
                     (3, 1.0, 0.0, 1.0, 1.0, 0.0)]}
     partial = lambda tf, dl, st: tf  # noqa: E731
-    decode = lambda buf, cnt: np.asarray(buf, dtype=np.float64)  # noqa: E731
-    kernel = make_batch_kernel(qinfo, partial, decode, k=10, chunk_span=100,
+    kernel = make_batch_kernel(qinfo, partial, _fake_codec(), k=10, chunk_span=100,
                                dense_cells=1)
     rows = []
     for tid, docids, tfs in [(1, [1, 2], [1.0, 2.0]),
