@@ -131,3 +131,43 @@ def test_import_ciff_bounded_batches(spark, tmp_path):
     assert got[(0, "aa")] == (2, 4)
     assert got[(2, "bb")] == (2, 3)
     assert got[(1, "cc")] == (1, 2)
+
+
+GOLDEN_DOCS = [("d1", "the quick brown fox jumps"),
+               ("d2", "pack my box with five dozen jugs"),
+               ("d3", "the lazy dog sleeps"),
+               ("d4", "brown jugs pack the box"),
+               ("d5", "five quick foxes"),
+               ("d6", "sphinx of black quartz judge my vow")]
+
+
+def test_ciff_export_matches_frozen_golden(spark, tmp_path):
+    """Wire-format drift guard: exporting the frozen 6-doc corpus must
+    reproduce tests/golden/tiny.ciff BYTE FOR BYTE (the self-consistency
+    roundtrip alone would not notice a symmetric encode/decode change), and
+    importing the golden must rebuild the same lexicon/postings."""
+    import os
+
+    from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden", "tiny.ciff")
+    golden = open(golden_path, "rb").read()
+
+    corpus = spark.createDataFrame(GOLDEN_DOCS, schema="docno string, content string")
+    src = str(tmp_path / "gsrc")
+    build_index(corpus, src, stemmer="porter2", block_size=4, chunk_span=4,
+                mode="overwrite")
+    out = str(tmp_path / "out.ciff")
+    export_ciff(load_index(spark, src), out, description="golden-v1")
+    assert open(out, "rb").read() == golden
+
+    # the golden file must also IMPORT to the expected index
+    dst = str(tmp_path / "gidx")
+    import_ciff(spark, golden_path, dst)
+    idx = load_index(spark, dst)
+    assert idx.num_docs() == 6
+    lex = {r["term"]: (r["df"], r["cf"]) for r in idx.lexicon.collect()}
+    assert lex["brown"] == (2, 2)
+    assert lex["the"] == (3, 3)
+    flat = idx.flat_tf().toPandas()
+    assert len(flat) == sum(df for df, _ in lex.values())
