@@ -5,13 +5,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {<name>: sec, ...}, "sf": ..., "extra": {...}}
 
+Every workload runs $BENCH_REPEATS times (default 3): the headline
+``queries`` value is the MEDIAN, and ``extra.repeats`` carries min/median/
+all-runs/spread per workload — this host shows 2-3x run-to-run variance, so
+single-shot numbers cannot distinguish a regression from a contended-host
+outlier (round-2 lesson: a one-shot artifact recorded a phantom 10x
+regression that a re-run dissolved).
+
 Workloads:
   build_documents_index   persisted block-index build over documents.parquet
   bm25_blockmax_batch     40-query batch, k=1000, pruned per-query kernel
   bm25_batchmode_batch    same batch, docid-partitioned batch kernel
   bm25_exhaustive_batch   same batch through the exhaustive DataFrame plan
+  quantize_index          precompute_impact fold (8-bit)
+  bm25_impact_batch       integer dot-product batch over the quantized index
   synth_build_20k         synthetic source-code corpus (20k docs, zipfian)
-                          end-to-end build -> docs/sec in extra
   synth_query_batch       40 queries over the 20k synth index (porter2)
 """
 
@@ -21,6 +29,7 @@ import itertools
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -29,6 +38,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 K = 1000
 N_SYNTH = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -42,14 +52,39 @@ def make_queries(terms: list[str], n: int) -> list[tuple[str, str]]:
     return out
 
 
+class Bench:
+    """Repeat each workload, keep median as the headline + full stats."""
+
+    def __init__(self, repeats: int):
+        self.repeats = repeats
+        self.timings: dict[str, float] = {}       # medians (headline)
+        self.stats: dict[str, dict] = {}
+
+    def run(self, name: str, fn) -> None:
+        runs = []
+        for _ in range(self.repeats):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        med = statistics.median(runs)
+        self.timings[name] = med
+        self.stats[name] = {
+            "min": round(min(runs), 3),
+            "median": round(med, 3),
+            "runs": [round(r, 3) for r in runs],
+            "spread": round(max(runs) / max(1e-9, min(runs)), 2),
+        }
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from pyterrier_pisa_spark.operators.wand import retrieve_blockmax, retrieve_blockmax_batch
-    from pyterrier_pisa_spark.plans.pipeline import build_logical_index, retrieve
+    from pyterrier_pisa_spark.plans.pipeline import retrieve
     from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
-    from pyterrier_pisa_spark.sources.index_store import build_index, load_index
+    from pyterrier_pisa_spark.sources.index_store import (build_index, load_index,
+                                                          quantize_index)
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -63,8 +98,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    extra: dict = {"cpus": CPUS}
+    bench = Bench(REPEATS)
+    extra: dict = {"cpus": CPUS, "repeats": REPEATS}
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
 
     # warm-up (untimed): JIT the JVM codepaths + spawn Arrow python workers so
@@ -82,70 +117,71 @@ def main() -> None:
         F.col("text").alias("content"),
     )
     n_docs = docs.count()
-    t0 = time.time()
-    build_index(docs, f"{tmp}/docs_idx", stemmer="none", id_col="doc_id", mode="overwrite")
-    timings["build_documents_index"] = time.time() - t0
-    extra["documents_docs_per_sec"] = round(n_docs / timings["build_documents_index"], 1)
+    bench.run("build_documents_index",
+              lambda: build_index(docs, f"{tmp}/docs_idx", stemmer="none",
+                                  id_col="doc_id", mode="overwrite"))
+    extra["documents_docs_per_sec"] = round(
+        n_docs / bench.timings["build_documents_index"], 1)
 
     idx = load_index(spark, f"{tmp}/docs_idx")
     vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(24).collect()]
     queries = make_queries(vocab, 40)
 
     # ---- 2. pruned kernel batch
-    t0 = time.time()
-    n_res = retrieve_blockmax(idx, queries, k=K, include_query=False).count()
-    timings["bm25_blockmax_batch"] = time.time() - t0
-    extra["blockmax_ms_per_query"] = round(1000 * timings["bm25_blockmax_batch"] / len(queries), 2)
-    extra["blockmax_rows"] = n_res
+    counts: dict[str, int] = {}
+    bench.run("bm25_blockmax_batch", lambda: counts.__setitem__(
+        "bm", retrieve_blockmax(idx, queries, k=K, include_query=False).count()))
+    extra["blockmax_ms_per_query"] = round(
+        1000 * bench.timings["bm25_blockmax_batch"] / len(queries), 2)
+    extra["blockmax_rows"] = counts["bm"]
 
     # ---- 2b. docid-partitioned batch mode (index moves once per batch)
-    t0 = time.time()
-    n_res_b = retrieve_blockmax_batch(idx, queries, k=K, include_query=False).count()
-    timings["bm25_batchmode_batch"] = time.time() - t0
-    extra["batchmode_ms_per_query"] = round(1000 * timings["bm25_batchmode_batch"] / len(queries), 2)
-    extra["batchmode_rows"] = n_res_b
+    bench.run("bm25_batchmode_batch", lambda: counts.__setitem__(
+        "bb", retrieve_blockmax_batch(idx, queries, k=K, include_query=False).count()))
+    extra["batchmode_ms_per_query"] = round(
+        1000 * bench.timings["bm25_batchmode_batch"] / len(queries), 2)
+    extra["batchmode_rows"] = counts["bb"]
 
     # ---- 3. exhaustive DataFrame plan batch
     logical = idx.as_logical()
     logical.tf = logical.tf.persist()
     logical.tf.count()
-    t0 = time.time()
-    n_res2 = retrieve(logical, queries, k=K, include_query=False).count()
-    timings["bm25_exhaustive_batch"] = time.time() - t0
-    extra["exhaustive_rows"] = n_res2
+    bench.run("bm25_exhaustive_batch", lambda: counts.__setitem__(
+        "ex", retrieve(logical, queries, k=K, include_query=False).count()))
+    extra["exhaustive_rows"] = counts["ex"]
 
     # ---- 3b. precompute_impact: quantize once, then integer dot-product batch
-    from pyterrier_pisa_spark.sources.index_store import quantize_index
-
-    t0 = time.time()
-    quantize_index(idx, f"{tmp}/docs_qidx", scorer="bm25", bits=8)
-    timings["quantize_index"] = time.time() - t0
+    bench.run("quantize_index",
+              lambda: quantize_index(idx, f"{tmp}/docs_qidx", scorer="bm25", bits=8))
     qidx = load_index(spark, f"{tmp}/docs_qidx")
-    t0 = time.time()
-    n_res_q = retrieve_blockmax_batch(qidx, queries, k=K, scorer="quantized",
-                                      include_query=False).count()
-    timings["bm25_impact_batch"] = time.time() - t0
-    extra["impact_ms_per_query"] = round(1000 * timings["bm25_impact_batch"] / len(queries), 2)
-    extra["impact_rows"] = n_res_q
+    bench.run("bm25_impact_batch", lambda: counts.__setitem__(
+        "iq", retrieve_blockmax_batch(qidx, queries, k=K, scorer="quantized",
+                                      include_query=False).count()))
+    extra["impact_ms_per_query"] = round(
+        1000 * bench.timings["bm25_impact_batch"] / len(queries), 2)
+    extra["impact_rows"] = counts["iq"]
 
     # ---- 4. synthetic source-code corpus build (porter2, bigger)
     synth = synth_code_corpus(spark, num_docs=N_SYNTH, seed=11)
-    t0 = time.time()
-    build_index(synth, f"{tmp}/synth_idx", stemmer="porter2", mode="overwrite")
-    timings["synth_build_20k"] = time.time() - t0
-    extra["synth_docs_per_sec"] = round(N_SYNTH / timings["synth_build_20k"], 1)
+    bench.run("synth_build_20k",
+              lambda: build_index(synth, f"{tmp}/synth_idx", stemmer="porter2",
+                                  mode="overwrite"))
+    extra["synth_docs_per_sec"] = round(N_SYNTH / bench.timings["synth_build_20k"], 1)
 
     # ---- 5. query the synth index
     sidx = load_index(spark, f"{tmp}/synth_idx")
     svocab = [r["term"] for r in sidx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(24).collect()]
     squeries = make_queries(svocab, 40)
-    t0 = time.time()
-    retrieve_blockmax(sidx, squeries, k=K, include_query=False).count()
-    timings["synth_query_batch"] = time.time() - t0
-    extra["synth_ms_per_query"] = round(1000 * timings["synth_query_batch"] / len(squeries), 2)
+    bench.run("synth_query_batch",
+              lambda: retrieve_blockmax(sidx, squeries, k=K, include_query=False).count())
+    extra["synth_ms_per_query"] = round(
+        1000 * bench.timings["synth_query_batch"] / len(squeries), 2)
 
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
+
+    extra["repeats_detail"] = bench.stats
+    extra["max_spread"] = max(s["spread"] for s in bench.stats.values())
 
     # embed the latest scaling-efficiency evidence (north rule) if present
     scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
@@ -156,17 +192,17 @@ def main() -> None:
             "best": next(iter(sc["best"]["pairs"].values()), {}) if "best" in sc else sc.get("pairs"),
             "last": next(iter(sc["last"]["pairs"].values()), {}) if "last" in sc else None,
             "best_each": sc.get("best_each"),
+            "median_recent": sc.get("median_recent"),
             "n_runs": len(sc.get("runs", [])) or 1,
             "method": "tools/scaling_bench.py — fixed-work, core-pinned, 2->8 cores;"
-                      " best-of over recorded runs (host noise 2-3x); full history in"
-                      " SCALING.json, table in BASELINE.md"}
+                      " history in SCALING.json, table in BASELINE.md"}
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(bench.timings.values()), 3)
     print(json.dumps({
         "metric": "fulltext_index_e2e_sec",
         "value": total,
         "unit": "sec",
-        "queries": {k_: round(v, 3) for k_, v in timings.items()},
+        "queries": {k_: round(v, 3) for k_, v in bench.timings.items()},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extra": extra,
     }))

@@ -27,6 +27,18 @@ from .sources.index_store import PersistedIndex, build_index, load_index
 
 __version__ = "0.1.0"
 
+
+def log_level(on: bool = True) -> None:
+    """Toggle engine logging (reference ``log_level``, ``__init__.py:124-125``
+    — there a flag into the native engine's stderr logging). Here the engine
+    IS Spark, so the switch sets the active session's log level: INFO when
+    on, ERROR when off. No-op when no session is active."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.sparkContext.setLogLevel("INFO" if on else "ERROR")
+
 __all__ = [
     "LogicalIndex",
     "PISA_INDEX_DEFAULTS",
@@ -35,6 +47,7 @@ __all__ = [
     "SparkRetriever",
     "build_index",
     "build_logical_index",
+    "log_level",
     "build_logical_index_toks",
     "load_index",
     "retrieve",

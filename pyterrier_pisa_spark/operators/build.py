@@ -175,7 +175,27 @@ def build_lexicon(tf: DataFrame, num_partitions: int | None = None) -> DataFrame
     agg = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
     )
-    return assign_dense_ids(agg, ["term"], "term_id", num_partitions)
+    # persist the VOCAB-SIZED agg before dense-id assignment: the range
+    # partitioner's sampling job would otherwise re-execute the full
+    # tf-scan + groupBy a second time (the agg is tiny by definition — the
+    # posting-sized input is reduced before anything is cached)
+    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(agg)
+    n = agg.count()  # materializes the cache; sizes the id-assignment path
+    # SIZE-GATED id assignment: a small vocab (<=1M terms) sorts in ONE task
+    # — the range-partitioned machinery (sampling job + frozen cache +
+    # offsets broadcast + many tiny output files) is pure constant overhead
+    # at this size and eats straight into build scaling efficiency. Real
+    # web-scale vocabularies (>1M) take the scalable range path.
+    if n <= (1 << 20):
+        from pyspark.sql import Window
+
+        w = Window.orderBy("term")
+        return agg.coalesce(1).withColumn(
+            "term_id", (F.row_number().over(w) - 1).cast("long"))
+    out = assign_dense_ids(agg, ["term"], "term_id", num_partitions)
+    # vocab-sized output: ~2M terms per parquet file, not one file per task
+    return out.coalesce(max(1, n // (2 << 20) + 1))
 
 
 def build_docmap(corpus_ids: DataFrame, doclens: DataFrame) -> DataFrame:

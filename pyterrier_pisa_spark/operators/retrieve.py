@@ -28,6 +28,18 @@ from . import score as S
 DEFAULT_NUM_RESULTS = 1000  # reference default k (``__init__.py:223,434``)
 
 
+def shuffle_parts(spark: SparkSession) -> int:
+    """Partition count for explicit (AQE-exempt) repartitions: the session's
+    ``spark.sql.shuffle.partitions`` — the user-tuned sizing knob, CONSTANT
+    across cluster sizes (scaling comparability: the same job at N and 4N
+    cores keeps an identical task structure), and finer-grained than
+    defaultParallelism so hash collisions across group keys balance out."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def query_terms_df(
     spark: SparkSession,
     queries: list[tuple[str, str]],
@@ -140,8 +152,7 @@ def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
     single core); an explicit user repartition is exempt from coalescing and
     replaces (not adds to) the window's required exchange."""
     spark = scores.sparkSession
-    nparts = spark.sparkContext.defaultParallelism
-    scores = scores.repartition(nparts, "qid")
+    scores = scores.repartition(shuffle_parts(spark), "qid")
     w = Window.partitionBy("qid").orderBy(
         F.col("score").cast("float").desc(), F.col("docid").asc())
     # filter on the RAW row_number (not the derived 0-based rank): that is the

@@ -522,9 +522,11 @@ def retrieve_blockmax(
     # explicit repartition on the group keys: satisfies the groupBy's
     # distribution (no second exchange) AND is exempt from AQE partition
     # coalescing, which would otherwise fold a few-MB candidate shuffle into
-    # ONE task and serialize the whole kernel phase
-    nparts = spark.sparkContext.defaultParallelism
-    local = cand.repartition(nparts, "qid", "task_group").groupBy(
+    # ONE task and serialize the whole kernel phase; sized by the session's
+    # shuffle-partitions knob (cluster-size-invariant task structure)
+    from .retrieve import shuffle_parts
+
+    local = cand.repartition(shuffle_parts(spark), "qid", "task_group").groupBy(
         "qid", "task_group").applyInPandas(
         kernel, schema="qid string, docid long, score double, rank int"
     )
@@ -571,9 +573,14 @@ def retrieve_blockmax_batch(
     kernel = make_batch_kernel(qinfo, partial, codec, k, chunk_span,
                                conjunctive=conjunctive)
     # explicit repartition: same AQE-coalescing exemption as the per-query
-    # path — without it the kernel runs as one task on small candidate sets
-    nparts = spark.sparkContext.defaultParallelism
-    local = cand.repartition(nparts, "task_group").groupBy("task_group").applyInPandas(
+    # path — without it the kernel runs as one task on small candidate sets;
+    # shuffle-partitions-sized so ~each task group lands in its own task
+    # (hash collisions at defaultParallelism-sized bins skew the kernel
+    # phase and cap the speedup from added cores)
+    from .retrieve import shuffle_parts
+
+    local = cand.repartition(shuffle_parts(spark), "task_group").groupBy(
+        "task_group").applyInPandas(
         kernel, schema="qidx int, docid long, score double"
     )
     # global top-k over the int query index, then restore the qid string via

@@ -36,6 +36,35 @@ PISA_INDEX_DEFAULTS = {
 }
 
 
+def pisa_artifact_metadata_adapter(path: str, dir_listing: list) -> dict | None:
+    """Sniff a directory as a (legacy) PISA index (reference
+    ``pisa_metadata_adapter.py:1-13``): pre-``pt_meta.json`` reference
+    indexes carried ``pt_pisa_config.json`` instead. Returns the same
+    artifact-metadata dict the reference guesses, else None."""
+    if "pt_pisa_config.json" in dir_listing:
+        return {
+            "type": "sparse_index",
+            "format": "pisa",
+            "package_hint": "pyterrier-pisa",
+        }
+    return None
+
+
+def _legacy_config(path: str) -> dict | None:
+    """Read a legacy ``pt_pisa_config.json`` (or a ``pt_meta.json``) if one
+    sits at ``path`` — reference ``__init__.py:160-171`` honors the stored
+    stemmer from either and warns on mismatch."""
+    for name in ("pt_pisa_config.json", "pt_meta.json"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            try:
+                with open(p) as fin:
+                    return json.load(fin)
+            except (OSError, ValueError):
+                return None
+    return None
+
+
 def _as_query_list(queries) -> tuple[bool, list]:
     """Accept [(qid, text)] / [(qid, {term: weight})], pandas DataFrame, or
     Spark DataFrame with (qid, query) or (qid, query_toks) — queries are tiny
@@ -144,6 +173,24 @@ class PisaSparkIndex:
                  stemmer: str | None = None, stops=None, **build_defaults):
         self.path = path
         self.spark = spark or SparkSession.getActiveSession()
+        # honor the stemmer an existing index (including a legacy
+        # pt_pisa_config.json-era reference index) was built with, warning on
+        # mismatch — reference ``__init__.py:160-171`` semantics
+        cfg = _legacy_config(path)
+        if cfg is None and os.path.exists(os.path.join(path, "meta.json")):
+            try:
+                with open(os.path.join(path, "meta.json")) as fin:
+                    cfg = json.load(fin)
+            except (OSError, ValueError):
+                cfg = None
+        if cfg and cfg.get("stemmer"):
+            if stemmer is not None and stemmer != cfg["stemmer"]:
+                import warnings
+
+                warnings.warn(f"requested stemmer={stemmer}, but index was "
+                              f"constructed with {cfg['stemmer']}")
+            else:
+                stemmer = cfg["stemmer"]
         self.stemmer = stemmer or PISA_INDEX_DEFAULTS["stemmer"]
         self.stops = stops if stops is not None else PISA_INDEX_DEFAULTS["stops"]
         self.build_defaults = build_defaults
@@ -153,7 +200,11 @@ class PisaSparkIndex:
     # ------------------------------------------------------------- lifecycle
 
     def built(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "meta.json"))
+        # legacy reference indexes are recognized (reference built() accepts
+        # pt_pisa_config.json, ``__init__.py:187``) but not loadable here —
+        # _persisted() raises a clear error pointing at CIFF interchange
+        return os.path.exists(os.path.join(self.path, "meta.json")) or \
+            os.path.exists(os.path.join(self.path, "pt_pisa_config.json"))
 
     def index(self, corpus: DataFrame, mode: str = "create", **kw) -> "PisaSparkIndex":
         """Build the index from a corpus DataFrame (reference
@@ -183,6 +234,12 @@ class PisaSparkIndex:
             if not self.built():
                 raise FileNotFoundError(
                     f"no index at {self.path}; build one with .index(corpus)")
+            if not os.path.exists(os.path.join(self.path, "meta.json")):
+                raise NotImplementedError(
+                    f"{self.path} is a legacy reference (pt_pisa_config.json) "
+                    "index in PISA's native binary layout; export it to CIFF "
+                    "with the reference engine and load it here via "
+                    "PisaSparkIndex.from_ciff")
             self._pidx = load_index(self.spark, self.path)
         return self._pidx
 

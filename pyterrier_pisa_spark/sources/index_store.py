@@ -181,9 +181,11 @@ def build_index(
 
     if os.path.exists(os.path.join(path, "fwd")):
         fwd = spark.read.parquet(os.path.join(path, "fwd"))
-        if fwd.rdd.getNumPartitions() < np_:
+        if fwd.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
             # the explode/join map side of the invert must not be throttled
-            # by a handful of parquet splits
+            # by fewer parquet splits than cores; when the splits already
+            # cover the cores, skip the exchange — it re-shuffles the whole
+            # fwd table TWICE (lexicon scan + invert scan) for nothing
             fwd = fwd.repartition(np_)
         tf = _fwd_to_tf(fwd)
         docmap = fwd.select("docid", "docno", "doclen", "content_sha256")
@@ -229,18 +231,49 @@ def build_index(
     # ---------------------------------------------------- phase 4: maxscore
     if not _phase_done(path, "maxscore"):
         t1 = time.time()
-        pc = spark.read.parquet(os.path.join(path, "postings"))
         # stored block maxes are df-independent "rest" factors; the ABSOLUTE
-        # per-term BM25 bound = clamped idf * max rest (tiny agg + join)
-        max_rest = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_rest"))
-        idf = F.greatest(
-            F.lit(S.IDF_EPS),
-            F.log((F.lit(float(stats["num_docs"])) - F.col("df") + F.lit(0.5))
-                  / (F.col("df") + F.lit(0.5))),
-        )
-        term_stats = max_rest.join(lexicon.select("term_id", "df"), "term_id").select(
-            "term_id", (idf * F.col("max_rest")).alias("max_score"))
-        term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        # per-term BM25 bound = clamped idf * max rest. The input is two
+        # pruned columns of the BLOCK table (1/128th of postings): below
+        # ~20M blocks that is a driver-sized pandas groupby — one pyarrow
+        # read instead of a whole Spark job (the job's fixed cost is pure
+        # serial build time); bigger indexes take the distributed agg.
+        nblocks = json.load(open(_marker(path, "postings"))).get("blocks", 0) \
+            if _phase_done(path, "postings") else (1 << 62)
+        if nblocks <= 20_000_000:
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as papq
+
+            blk = pads.dataset(os.path.join(path, "postings")).to_table(
+                columns=["term_id", "block_max_score"]).to_pandas()
+            max_rest = blk.groupby("term_id")["block_max_score"].max()
+            lexp = pads.dataset(_table_path(path, {}, "lexicon")).to_table(
+                columns=["term_id", "df"]).to_pandas().set_index("term_id")["df"]
+            lexp = lexp.loc[max_rest.index]
+            nd = float(stats["num_docs"])
+            idf_v = np.maximum(S.IDF_EPS,
+                               np.log((nd - lexp + 0.5) / (lexp + 0.5)))
+            out_pdf = pd.DataFrame({"term_id": max_rest.index.to_numpy(),
+                                    "max_score": (idf_v * max_rest).to_numpy()})
+            tdir = os.path.join(path, "term_stats")
+            os.makedirs(tdir, exist_ok=True)
+            papq.write_table(pa.Table.from_pandas(out_pdf, preserve_index=False),
+                             os.path.join(tdir, "part-00000.parquet"))
+        else:
+            pc = spark.read.parquet(os.path.join(path, "postings"))
+            max_rest = pc.groupBy("term_id").agg(
+                F.max("block_max_score").alias("max_rest"))
+            idf = F.greatest(
+                F.lit(S.IDF_EPS),
+                F.log((F.lit(float(stats["num_docs"])) - F.col("df") + F.lit(0.5))
+                      / (F.col("df") + F.lit(0.5))),
+            )
+            term_stats = max_rest.join(lexicon.select("term_id", "df"), "term_id").select(
+                "term_id", (idf * F.col("max_rest")).alias("max_score"))
+            # vocab-sized table: ~2M terms per file, not one file per task
+            nfiles = max(1, int(stats.get("num_terms") or 1) // (2 << 20) + 1)
+            term_stats.coalesce(nfiles).write.mode("overwrite").parquet(
+                os.path.join(path, "term_stats"))
         _commit_phase(path, "maxscore", {"sec": time.time() - t1})
 
     # task-group count for the retrieval kernels: derived from INDEX SIZE at

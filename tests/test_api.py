@@ -146,3 +146,40 @@ def test_parity_noop_kwargs_on_text_retrievers(spark, api_idx):
     res2 = api_idx.dph(verbose=False, threads=1, query_weighted=False).search(
         "chemical reactions").toPandas()
     assert len(res2) >= 1
+
+
+def test_legacy_metadata_adapter(spark, tmp_path):
+    """pt_pisa_config.json-era reference indexes are recognized (reference
+    pisa_metadata_adapter.py:1-13, __init__.py:160-171,187): built() is True,
+    the stored stemmer is honored with a warning on mismatch, and loading the
+    native binary layout fails with an actionable CIFF pointer."""
+    import json as _json
+    import warnings
+
+    from pyterrier_pisa_spark.plans.api import pisa_artifact_metadata_adapter
+
+    legacy = tmp_path / "old_idx"
+    legacy.mkdir()
+    (legacy / "pt_pisa_config.json").write_text(_json.dumps({"stemmer": "none"}))
+
+    meta = pisa_artifact_metadata_adapter(str(legacy), ["pt_pisa_config.json"])
+    assert meta == {"type": "sparse_index", "format": "pisa",
+                    "package_hint": "pyterrier-pisa"}
+    assert pisa_artifact_metadata_adapter(str(legacy), ["other.bin"]) is None
+
+    idx = PisaSparkIndex(str(legacy), spark=spark)
+    assert idx.built()
+    assert idx.stemmer == "none"  # honored from the stored config
+    with pytest.warns(UserWarning, match="constructed with"):
+        idx2 = PisaSparkIndex(str(legacy), spark=spark, stemmer="porter2")
+    assert idx2.stemmer == "porter2"  # explicit request wins, with a warning
+    with pytest.raises(NotImplementedError, match="CIFF"):
+        idx.num_docs()
+
+
+def test_log_level_toggle(spark):
+    """log_level() parity shim (reference __init__.py:124-125)."""
+    from pyterrier_pisa_spark import log_level
+
+    log_level(True)
+    log_level(False)  # leaves the suite quiet; just must not raise

@@ -1,10 +1,20 @@
 
 import json, os, sys, tempfile, time
 cpus = int(sys.argv[1]); ndocs = int(sys.argv[2]); nq = int(sys.argv[3])
+avg_tokens = int(sys.argv[4]) if len(sys.argv) > 4 else 400
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# scratch + index outputs on tmpfs: this sandbox has ONE shared disk, so at
+# the high core count the (constant-bandwidth) shuffle/parquet I/O becomes
+# the bottleneck and its 25%+ run-to-run contention noise swamps the
+# efficiency signal. A real cluster has per-node scratch NVMe that scales
+# with nodes — tmpfs is the local-mode stand-in that measures ENGINE
+# scaling, not single-disk bandwidth.
+scratch = tempfile.mkdtemp(prefix=f"scale_shm_{cpus}_",
+                           dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling_{cpus}")
+    .config("spark.local.dir", scratch)
     .config("spark.sql.shuffle.partitions", "64")  # FIXED across levels: the
     # job's task structure must be identical at N and 4N cores, otherwise the
     # comparison measures different work, not scaling
@@ -13,12 +23,16 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     .config("spark.sql.files.maxPartitionBytes", "16m")
+    # v2 commit: per-task renames instead of a serial driver-side commit
+    # pass — the commit cost is constant across core counts and eats
+    # directly into scaling efficiency
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
 from pyterrier_pisa_spark.sources.index_store import build_index, load_index
 from pyterrier_pisa_spark.operators.wand import retrieve_blockmax, retrieve_blockmax_batch
-tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=scratch)
 # ---- warm-up (JIT + python workers), untimed
 warm = synth_code_corpus(spark, num_docs=2000, seed=1)
 build_index(warm, f"{tmp}/warm", stemmer="porter2", mode="overwrite")
@@ -27,7 +41,7 @@ retrieve_blockmax(widx, [("w", "parse index")], k=100, include_query=False).coun
 # ---- materialize the input corpus OUTSIDE the timed region: corpus
 # synthesis is harness work, not engine work — a real deployment reads
 # existing data. chunk_span sized so the corpus spans ~150 chunks.
-corpus = synth_code_corpus(spark, num_docs=ndocs, seed=11)
+corpus = synth_code_corpus(spark, num_docs=ndocs, seed=11, avg_tokens=avg_tokens)
 corpus.write.mode("overwrite").parquet(f"{tmp}/corpus")
 corpus = spark.read.parquet(f"{tmp}/corpus")
 t0 = time.time()
@@ -58,3 +72,5 @@ print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "ms_per_query": round(1000 * query_sec / nq, 2),
                   "result_rows": nres}))
 spark.stop()
+import shutil
+shutil.rmtree(scratch, ignore_errors=True)

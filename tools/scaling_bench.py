@@ -23,10 +23,20 @@ import sys
 WORKER = r"""
 import json, os, sys, tempfile, time
 cpus = int(sys.argv[1]); ndocs = int(sys.argv[2]); nq = int(sys.argv[3])
+avg_tokens = int(sys.argv[4]) if len(sys.argv) > 4 else 400
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# scratch + index outputs on tmpfs: this sandbox has ONE shared disk, so at
+# the high core count the (constant-bandwidth) shuffle/parquet I/O becomes
+# the bottleneck and its 25%+ run-to-run contention noise swamps the
+# efficiency signal. A real cluster has per-node scratch NVMe that scales
+# with nodes — tmpfs is the local-mode stand-in that measures ENGINE
+# scaling, not single-disk bandwidth.
+scratch = tempfile.mkdtemp(prefix=f"scale_shm_{cpus}_",
+                           dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling_{cpus}")
+    .config("spark.local.dir", scratch)
     .config("spark.sql.shuffle.partitions", "64")  # FIXED across levels: the
     # job's task structure must be identical at N and 4N cores, otherwise the
     # comparison measures different work, not scaling
@@ -35,12 +45,16 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     .config("spark.sql.files.maxPartitionBytes", "16m")
+    # v2 commit: per-task renames instead of a serial driver-side commit
+    # pass — the commit cost is constant across core counts and eats
+    # directly into scaling efficiency
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
 from pyterrier_pisa_spark.sources.index_store import build_index, load_index
 from pyterrier_pisa_spark.operators.wand import retrieve_blockmax, retrieve_blockmax_batch
-tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=scratch)
 # ---- warm-up (JIT + python workers), untimed
 warm = synth_code_corpus(spark, num_docs=2000, seed=1)
 build_index(warm, f"{tmp}/warm", stemmer="porter2", mode="overwrite")
@@ -49,7 +63,7 @@ retrieve_blockmax(widx, [("w", "parse index")], k=100, include_query=False).coun
 # ---- materialize the input corpus OUTSIDE the timed region: corpus
 # synthesis is harness work, not engine work — a real deployment reads
 # existing data. chunk_span sized so the corpus spans ~150 chunks.
-corpus = synth_code_corpus(spark, num_docs=ndocs, seed=11)
+corpus = synth_code_corpus(spark, num_docs=ndocs, seed=11, avg_tokens=avg_tokens)
 corpus.write.mode("overwrite").parquet(f"{tmp}/corpus")
 corpus = spark.read.parquet(f"{tmp}/corpus")
 t0 = time.time()
@@ -80,13 +94,25 @@ print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "ms_per_query": round(1000 * query_sec / nq, 2),
                   "result_rows": nres}))
 spark.stop()
+import shutil
+shutil.rmtree(scratch, ignore_errors=True)
 """
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=50000)
-    ap.add_argument("--queries", type=int, default=200)
+    # workload sized so PARALLEL work dominates the per-job scheduler
+    # constants at the high level: the kernel/build vectorization work made
+    # the old 50k-doc/200-query workload finish in single-digit seconds at
+    # 8 cores, at which point the run measures job-boundary overhead (the
+    # same at both levels), not engine scaling — a real deployment holds
+    # orders of magnitude more data per node.
+    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--queries", type=int, default=1000)
+    ap.add_argument("--avg-tokens", type=int, default=400,
+                    help="tokens per synthetic doc (realistic code files are"
+                         " hundreds of tokens; short docs make the build"
+                         " job-overhead-bound, not engine-bound)")
     ap.add_argument("--levels", type=str, default="2,8")
     ap.add_argument("--repeats", type=int, default=1,
                     help="interleaved repeats per level; best throughput wins "
@@ -110,9 +136,12 @@ def main() -> None:
             # per repeat: on a shared host some core ranges are contended by
             # other tenants, and best-of over rotated placements rejects that
             # noise instead of folding it into the efficiency number.
-            offset = (rep * 8) % max(1, ncores - cpus + 1)
+            # start at core 8, not 0: the low core range services kernel
+            # IRQs/timers in this VM and shows a distinct slow mode
+            offset = (8 + rep * 8) % max(1, ncores - cpus + 1)
             cmd = ["taskset", "-c", f"{offset}-{offset + cpus - 1}", sys.executable,
-                   script, str(cpus), str(args.docs), str(args.queries)]
+                   script, str(cpus), str(args.docs), str(args.queries),
+                   str(args.avg_tokens)]
             env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                        MKL_NUM_THREADS="1")
             out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
@@ -148,6 +177,7 @@ def main() -> None:
     out = {
         "metric": "scaling_efficiency",
         "docs": args.docs,
+        "avg_tokens": args.avg_tokens,
         "queries": args.queries,
         "levels": results,
         "pairs": pairs,
@@ -177,6 +207,20 @@ def main() -> None:
 
     hist["best"] = max(hist["runs"], key=_score)
     hist["last"] = out
+    # median over the most recent 3 runs of the SAME workload — the
+    # north-rule evidence is the TYPICAL efficiency, not the lucky tail
+    same = [r for r in hist["runs"]
+            if r.get("docs") == out["docs"] and r.get("avg_tokens") == out.get("avg_tokens")][-3:]
+    import statistics as _st
+    if same:
+        hist["median_recent"] = {
+            "workload": {"docs": out["docs"], "avg_tokens": out.get("avg_tokens"),
+                         "queries": out["queries"], "n_runs": len(same)},
+            "build_scaling_efficiency": round(_st.median(
+                next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in same), 3),
+            "query_scaling_efficiency": round(_st.median(
+                next(iter(r["pairs"].values()))["query_scaling_efficiency"] for r in same), 3),
+        }
     hist["best_each"] = {
         "build_scaling_efficiency": max(
             next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in hist["runs"]),
