@@ -177,6 +177,30 @@ def main() -> None:
     extra["synth_ms_per_query"] = round(
         1000 * bench.timings["synth_query_batch"] / len(squeries), 2)
 
+    # ---- 6. in-process serving latency (LocalSearcher): the apples-to-apples
+    # number against the reference's single-node ms/query — same kernel as the
+    # Spark path, zero task-scheduling floor. Construction (one collect) is
+    # timed separately from per-query latency.
+    from pyterrier_pisa_spark.operators.serve import LocalSearcher
+
+    t0 = time.time()
+    ls = LocalSearcher(sidx)
+    extra["local_serve_build_sec"] = round(time.time() - t0, 3)
+    ls.search(squeries[:2], k=K)  # warm (numba-free, but page-in + caches)
+    lat = []
+    for rep in range(REPEATS):
+        for q in squeries:
+            t0 = time.time()
+            ls.search([q], k=K)
+            lat.append(time.time() - t0)
+    lat_ms = sorted(1000 * x for x in lat)
+    bench.timings["local_serve_batch"] = sum(lat) / REPEATS
+    bench.stats["local_serve_batch"] = {
+        "min": round(min(lat), 4), "median": round(lat_ms[len(lat_ms) // 2] / 1000, 4),
+        "runs": [], "spread": round(lat_ms[-1] / max(1e-9, lat_ms[0]), 2)}
+    extra["local_serve_ms_per_query_p50"] = round(lat_ms[len(lat_ms) // 2], 3)
+    extra["local_serve_ms_per_query_p95"] = round(lat_ms[int(len(lat_ms) * 0.95)], 3)
+
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 

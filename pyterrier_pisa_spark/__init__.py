@@ -13,6 +13,7 @@ Quick start::
 """
 
 from .functions.tokenizer import tokenize_text as tokenize
+from .operators.serve import LocalSearcher
 from .operators.wand import retrieve_blockmax
 from .plans.api import PISA_INDEX_DEFAULTS, PisaSparkIndex, SparkRetriever
 from .plans.pipeline import (
@@ -40,6 +41,7 @@ def log_level(on: bool = True) -> None:
         spark.sparkContext.setLogLevel("INFO" if on else "ERROR")
 
 __all__ = [
+    "LocalSearcher",
     "LogicalIndex",
     "PISA_INDEX_DEFAULTS",
     "PersistedIndex",

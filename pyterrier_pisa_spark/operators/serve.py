@@ -1,0 +1,302 @@
+"""Driver-local low-latency serving (``LocalSearcher``) — the reference's
+single-node query model (``_pisathon.cpp:442-545``: an in-process engine over
+mmap'd index files, ~1 ms/query) re-created over the SAME persisted block
+index with results identical to the Spark retrieval paths.
+
+Why this exists: the Spark retrieval paths (``wand.retrieve_blockmax*``) are
+the 100 TB answer — candidate blocks shuffle to executors, every query scales
+horizontally — but each batch pays Spark's task-scheduling floor (~10 ms),
+which no amount of plan tuning removes for a SINGLE interactive query. The
+reference never pays it because serving is in-process. ``LocalSearcher`` is
+the in-process twin: collect the (small-enough) index to the driver ONCE,
+then answer queries with zero Spark jobs.
+
+Two engines, both rank- AND score-identical to the Spark kernels:
+
+``mode='dense'`` (default) — postings are decoded ONCE at construction and
+the scorer's per-posting partial is PRE-COMPUTED per posting (the searcher is
+scorer-bound, partials are query-independent — the same observation the batch
+kernel exploits, ``wand.make_batch_kernel``). A query is then one vectorized
+``acc[docids] += qw * partials`` pass per term (docids are unique within a
+term, so a plain fancy-indexed add is exact) followed by an exact
+float32-granularity top-k. Float64 sums accumulate in the SAME term-major
+order as the kernels' ``_merge_acc``, so scores are bit-identical.
+
+``mode='blockmax'`` — runs the Spark paths' own pruned ``_taat_score`` kernel
+over the packed block frames (decode on demand). Slower per query but holds
+only the compressed blocks; useful to cross-check the dense engine and when
+memory is tight.
+
+Scale contract: this is a SERVING-TIER component, not a data-path one. The
+guard refuses indexes above ``max_bytes`` (default 4 GiB — a single-node
+serving replica's budget, the same regime the reference operates in: its test
+collections are 192k-404k docs). Web-scale corpora stay on the Spark paths or
+shard across serving replicas by docid range (each replica = one
+``LocalSearcher`` over a docid-sliced index; the per-replica top-k merge is
+exact, the same local-topk-then-merge argument as ``retrieve_blockmax``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.stopwords import DEFAULT_STOPWORDS, get_stopwords
+from ..functions.tokenizer import tokenize_queries
+from . import score as S
+from .codec import get_codec
+from .wand import _decode_rows, _taat_score, _topk_frame
+
+_BLOCK_COLS = ["term_id", "block_id", "count", "docid_first", "docid_last",
+               "block_max_score", "docids_delta", "tfs", "doclens"]
+
+
+def _topk_exact(qid: str, docids: np.ndarray, scores: np.ndarray,
+                k: int) -> pd.DataFrame:
+    """Exact (float32(score) DESC, docid ASC) top-k without a full lexsort:
+    argpartition on the float32 scores bounds the candidate set (keeping ALL
+    boundary ties), then the small subset lexsorts. Identical output to
+    ``_topk_frame``."""
+    n = docids.size
+    if n > k:
+        sc32 = scores.astype(np.float32)
+        thresh = np.partition(sc32, n - k)[n - k]
+        keep = sc32 >= thresh  # >= keeps boundary ties for the docid break
+        docids, scores = docids[keep], scores[keep]
+    return _topk_frame(qid, docids, scores, k)
+
+
+class LocalSearcher:
+    """In-process top-k search over a collected block index, one scorer.
+
+    Build once (one Spark collect of blocks + lexicon⋈term_stats + docnos),
+    then ``search([(qid, text), ...])`` / ``search_toks`` run entirely on the
+    driver. Results are rank- and score-identical to ``retrieve_blockmax`` on
+    the same index.
+    """
+
+    def __init__(self, index, scorer: str = "bm25", k1: float | None = None,
+                 b: float | None = None, mu: float = 1000.0, c: float = 1.0,
+                 stopwords=DEFAULT_STOPWORDS, max_bytes: int = 4 << 30,
+                 mode: str = "dense"):
+        from ..sources.index_store import ensure_term_stats
+
+        if mode not in ("dense", "blockmax"):
+            raise ValueError(f"unknown LocalSearcher mode {mode!r}")
+        meta = index.meta
+        self.meta = meta
+        self.stats = index.stats
+        self.scorer = scorer
+        self.mode = mode
+        self.k1 = meta["scorer"].get("k1", 0.9) if k1 is None else k1
+        self.b = meta["scorer"].get("b", 0.4) if b is None else b
+        self.stemmer = meta.get("stemmer", "porter2")
+        # stemmed-stoplist TermProcessor semantics (see query_terms_df)
+        stops = get_stopwords(stopwords)
+        if stops and self.stemmer == "porter2":
+            from ..functions.porter2 import CachedStemmer
+
+            st = CachedStemmer()
+            stops = frozenset(st(w) for w in stops)
+        self.stops = stops
+
+        # ---- size guard: serving replicas hold the index in memory.
+        # compressed bytes gate the collect; the dense engine's decoded
+        # footprint is ~16 B/posting (int32 docid + float64 partial + slack),
+        # gated against the same budget below once counts are known.
+        nbytes = index.blocks.agg(
+            (F.sum(F.length("docids_delta")) + F.sum(F.length("tfs"))
+             + F.sum(F.length("doclens"))).alias("nb")).collect()[0]["nb"] or 0
+        if nbytes > max_bytes:
+            raise MemoryError(
+                f"index postings ~{nbytes/2**30:.1f} GiB exceed the local-"
+                f"serving budget ({max_bytes/2**30:.1f} GiB); use the Spark "
+                "paths (retrieve_blockmax) or shard by docid range across "
+                "serving replicas")
+
+        # ---- term table: term -> (term_id, stat, max_score, min_score)
+        stat_col = S.term_stat_col(scorer)
+        ts = ensure_term_stats(index, scorer, k1=self.k1, b=self.b, mu=mu, c=c)
+        lex = index.lexicon.select(
+            "term", "term_id", F.col(stat_col).alias("stat")).join(
+            ts.withColumnRenamed("max_score", "ms")
+              .withColumnRenamed("min_score", "mn"), "term_id", "left"
+        ).fillna({"ms": 0.0, "mn": 0.0}).toPandas()
+        self._terms = {
+            r.term: (int(r.term_id), float(r.stat), float(r.ms), float(r.mn))
+            for r in lex.itertuples()
+        }
+
+        # ---- block table, sorted so each term is one contiguous slice
+        blk = index.blocks.select(*_BLOCK_COLS).toPandas()
+        blk = blk.sort_values(["term_id", "block_id"], kind="stable",
+                              ignore_index=True)
+        self._codec = get_codec(meta.get("encoding"))
+        partial = S.np_partial_fn(scorer, self.stats, self.k1, self.b, mu, c)
+
+        if mode == "dense":
+            counts = blk["count"].to_numpy(np.int64)
+            nposts = int(counts.sum())
+            if 16 * nposts > max_bytes:
+                raise MemoryError(
+                    f"~{16*nposts/2**30:.1f} GiB decoded exceeds the local-"
+                    f"serving budget; use mode='blockmax' or shard replicas")
+            d_all, tf_all, dl_all, counts, _starts = _decode_rows(blk, self._codec)
+            stat_by_tid = dict(zip(lex["term_id"].astype(int), lex["stat"].astype(float)))
+            row_stat = blk["term_id"].map(stat_by_tid).to_numpy(np.float64)
+            # pre-computed per-posting partial (float64 — per-query sums must
+            # be bit-identical to the kernels')
+            p_all = partial(tf_all, dl_all, np.repeat(row_stat, counts))
+            post_tid = np.repeat(blk["term_id"].to_numpy(np.int64), counts)
+            self._post_d = d_all.astype(np.int64)
+            self._post_p = np.ascontiguousarray(p_all, dtype=np.float64)
+            self._post_tid_sorted = post_tid  # ascending (blk sorted by tid)
+            self._blocks = None
+            self._tid_sorted = None
+            # dense accumulators, reused across queries (reset touched-only)
+            nd = int(self.stats["num_docs"])
+            self._acc = np.zeros(nd, dtype=np.float64)
+            self._nmatch = np.zeros(nd, dtype=np.int32)
+            self._mask = np.zeros(nd, dtype=bool)
+        else:
+            self._blocks = blk
+            self._tid_sorted = blk["term_id"].to_numpy(np.int64)
+            self._post_d = self._post_p = self._post_tid_sorted = None
+
+        # ---- docid (dense 0..n-1) -> docno as a direct-indexed array
+        dm = index.docmap.select("docid", "docno").orderBy("docid").toPandas()
+        docnos = np.empty(int(self.stats["num_docs"]), dtype=object)
+        docnos[dm["docid"].to_numpy(np.int64)] = dm["docno"].to_numpy(object)
+        self._docnos = docnos
+
+        self._partial = partial
+        built = meta["scorer"].get("name", "bm25")
+        self._use_block_max = (
+            (scorer == "bm25" and built == "bm25"
+             and self.k1 == meta["scorer"].get("k1")
+             and self.b == meta["scorer"].get("b"))
+            or (scorer == "quantized" and built == "quantized")
+        )
+        self._rest_kind = (self._use_block_max
+                           and meta.get("block_max_kind") == "bm25_rest")
+        self._num_docs = float(self.stats["num_docs"])
+
+    # ------------------------------------------------------------- internals
+
+    def _bscale(self, df_: float) -> float:
+        if not self._rest_kind:
+            return 1.0
+        import math
+
+        return max(S.IDF_EPS,
+                   math.log((self._num_docs - df_ + 0.5) / (df_ + 0.5)))
+
+    def _term_posts(self, tid: int) -> tuple[np.ndarray, np.ndarray] | None:
+        lo = np.searchsorted(self._post_tid_sorted, tid, "left")
+        hi = np.searchsorted(self._post_tid_sorted, tid, "right")
+        if hi == lo:
+            return None
+        return self._post_d[lo:hi], self._post_p[lo:hi]
+
+    def _query_dense(self, terms: list, k: int, conjunctive: bool):
+        """Exhaustive dense TAAT over pre-scored postings — exact, and the
+        same float64 accumulation order as the kernels (term-major)."""
+        acc, nmatch, mask = self._acc, self._nmatch, self._mask
+        hit = False
+        for (tid, qw, _st, _ms, _bs, _mn) in terms:
+            tp = self._term_posts(tid)
+            if tp is None:
+                continue
+            d, p = tp
+            acc[d] += qw * p  # docids unique within a term: plain add is exact
+            mask[d] = True
+            if conjunctive:
+                nmatch[d] += 1
+            hit = True
+        if not hit:
+            return None, None
+        # candidates via the touched mask (linear scan), NOT a sort/unique of
+        # the concatenated per-term docids — hot 3-term queries touch ~3x the
+        # matched docs, and the O(n log n) unique dominated per-query latency
+        cand = np.flatnonzero(mask)
+        sc = acc[cand]
+        acc[cand] = 0.0
+        mask[cand] = False
+        if conjunctive:
+            ok = nmatch[cand] >= len(terms)
+            nmatch[cand] = 0
+            cand, sc = cand[ok], sc[ok]
+        return cand, sc
+
+    def _query_blockmax(self, terms: list, k: int, conjunctive: bool):
+        by_term = {}
+        for (tid, *_rest) in terms:
+            lo = np.searchsorted(self._tid_sorted, tid, "left")
+            hi = np.searchsorted(self._tid_sorted, tid, "right")
+            if hi > lo:
+                by_term[tid] = self._blocks.iloc[lo:hi]
+        if not by_term:
+            return None, None
+        return _taat_score(terms, by_term, self._partial, self._codec, k,
+                           conjunctive, self._use_block_max)
+
+    def _run(self, qinfo: dict, k: int, conjunctive: bool,
+             cast_float32: bool) -> pd.DataFrame:
+        frames = []
+        for qid, terms in qinfo.items():
+            terms.sort(key=lambda t: -t[3])
+            if self.mode == "dense":
+                acc_d, acc_s = self._query_dense(terms, k, conjunctive)
+            else:
+                acc_d, acc_s = self._query_blockmax(terms, k, conjunctive)
+            if acc_d is not None and acc_d.size:
+                frames.append(_topk_exact(qid, acc_d, acc_s, k))
+        if not frames:
+            return pd.DataFrame({"qid": pd.Series(dtype=object),
+                                 "docid": pd.Series(dtype=np.int64),
+                                 "docno": pd.Series(dtype=object),
+                                 "score": pd.Series(dtype=(np.float32 if cast_float32
+                                                           else np.float64)),
+                                 "rank": pd.Series(dtype=np.int32)})
+        out = pd.concat(frames, ignore_index=True)
+        out["docno"] = self._docnos[out["docid"].to_numpy(np.int64)]
+        if cast_float32:
+            out["score"] = out["score"].astype(np.float32)
+        return out[["qid", "docid", "docno", "score", "rank"]]
+
+    # ------------------------------------------------------------------- API
+
+    def search(self, queries: list[tuple[str, str]], k: int = 1000,
+               conjunctive: bool = False, cast_float32: bool = True) -> pd.DataFrame:
+        """Raw-text queries -> pandas (qid, docid, docno, score, rank)."""
+        rows = tokenize_queries(queries, stemmer=self.stemmer, stopwords=self.stops)
+        qinfo: dict[str, list] = {}
+        for qid, term, qw in rows:
+            hit = self._terms.get(term)
+            if hit is None:
+                continue  # OOV drop (reference termlex-miss)
+            tid, stat, ms, mn = hit
+            qinfo.setdefault(qid, []).append(
+                (tid, qw, stat, ms, self._bscale(stat), mn))
+        return self._run(qinfo, k, conjunctive, cast_float32)
+
+    def search_toks(self, queries_toks: list[tuple[str, dict]], k: int = 1000,
+                    toks_scale: float = 100.0,
+                    cast_float32: bool = True) -> pd.DataFrame:
+        """Pretokenized (learned-sparse) queries — no stemming/stopwords,
+        weights scaled by ``toks_scale`` and truncated to int (reference
+        ``__init__.py:485-495``)."""
+        qinfo: dict[str, list] = {}
+        for qid, toks in queries_toks:
+            for term, w in toks.items():
+                iw = int(float(w) * toks_scale)
+                if iw <= 0:
+                    continue
+                hit = self._terms.get(str(term))
+                if hit is None:
+                    continue
+                tid, stat, ms, mn = hit
+                qinfo.setdefault(str(qid), []).append(
+                    (tid, float(iw), stat, ms, self._bscale(stat), mn))
+        return self._run(qinfo, k, False, cast_float32)

@@ -303,6 +303,15 @@ class PisaSparkIndex:
             num_results=num_results, query_algorithm=query_algorithm, stops=stops,
             **(retr_kw or {}))
 
+    def local_searcher(self, scorer: str = "bm25", **kw):
+        """In-process low-latency serving over this index (no Spark jobs per
+        query) — see ``operators/serve.LocalSearcher``. Single-node-scale
+        indexes only (the reference's own serving regime); web-scale corpora
+        stay on the Spark retrievers."""
+        from ..operators.serve import LocalSearcher
+
+        return LocalSearcher(self._persisted(), scorer=scorer, **kw)
+
     # -------------------------------------------------------------- metadata
 
     def num_docs(self) -> int:

@@ -50,7 +50,16 @@ build_index(corpus, f"{tmp}/idx", stemmer="porter2", mode="overwrite", chunk_spa
 build_sec = time.time() - t0
 # ---- timed query batch (warm the index reads first)
 idx = load_index(spark, f"{tmp}/idx")
-vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(30).collect()]
+# query vocab must ROUND-TRIP the query pipeline (lexicon terms are stems;
+# re-stemming can alter them, e.g. els->el) and not be stopwords — filtering
+# makes every query return exactly k rows, so result_rows == nq*k is a
+# cross-run/cross-level invariant instead of depending on vocab order
+from pyterrier_pisa_spark.functions.porter2 import CachedStemmer
+from pyterrier_pisa_spark.functions.stopwords import DEFAULT_STOPWORDS, get_stopwords
+_st = CachedStemmer()
+_stops = frozenset(_st(w) for w in get_stopwords(DEFAULT_STOPWORDS))
+vocab = [r["term"] for r in idx.lexicon.orderBy(F.desc("df"), F.asc("term")).limit(60).collect()]
+vocab = [t for t in vocab if _st(t) == t and t not in _stops][:30]
 queries = [(f"q{i}", f"{vocab[i % 30]} {vocab[(i + 7) % 30]} {vocab[(i + 13) % 30]}")
            for i in range(nq)]
 retrieve_blockmax_batch(idx, queries[:8], k=100, include_query=False).count()
