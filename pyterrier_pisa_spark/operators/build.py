@@ -166,33 +166,45 @@ def build_doclens(corpus: DataFrame, stemmer: str = "porter2") -> DataFrame:
     ).select("docid", F.col("_tv.doclen").alias("doclen"))
 
 
-def build_lexicon(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def build_lexicon(tf: DataFrame, num_partitions: int | None = None,
+                  small_vocab: bool | None = None) -> DataFrame:
     """(term, term_id, df, cf): document frequency + collection frequency per
     term, dense term_id in lexicographic term order (reference sorted-lexicon
     contract, ``indexers.py:125,133-134``). groupBy(term) is a partial-agg
     (map-side combine) shuffle of one small row per distinct (partition, term)
-    — Zipf skew on raw postings does NOT hit this stage."""
+    — Zipf skew on raw postings does NOT hit this stage.
+
+    SIZE-GATED id assignment: a small vocab (<=1M terms) sorts in ONE task —
+    the range-partitioned machinery (sampling job + frozen cache + offsets
+    broadcast + many tiny output files) is pure constant overhead at this
+    size and eats straight into build scaling efficiency; real web-scale
+    vocabularies take the scalable range path. ``small_vocab=True`` lets the
+    caller assert the gate WITHOUT the probe count job (one fewer full scan:
+    dense ids are then guaranteed by row_number construction, so the caller
+    may also skip its validation pass); None probes with a persisted count."""
     agg = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
     )
-    # persist the VOCAB-SIZED agg before dense-id assignment: the range
-    # partitioner's sampling job would otherwise re-execute the full
-    # tf-scan + groupBy a second time (the agg is tiny by definition — the
-    # posting-sized input is reduced before anything is cached)
-    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(agg)
-    n = agg.count()  # materializes the cache; sizes the id-assignment path
-    # SIZE-GATED id assignment: a small vocab (<=1M terms) sorts in ONE task
-    # — the range-partitioned machinery (sampling job + frozen cache +
-    # offsets broadcast + many tiny output files) is pure constant overhead
-    # at this size and eats straight into build scaling efficiency. Real
-    # web-scale vocabularies (>1M) take the scalable range path.
-    if n <= (1 << 20):
+    if small_vocab is None:
+        # persist the VOCAB-SIZED agg before sizing: the range partitioner's
+        # sampling job would otherwise re-execute the full tf-scan + groupBy
+        # a second time (the agg is tiny by definition)
+        agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(agg)
+        n = agg.count()  # materializes the cache; sizes the id-assignment path
+        small_vocab = n <= (1 << 20)
+    else:
+        n = None
+    if small_vocab:
         from pyspark.sql import Window
 
         w = Window.orderBy("term")
         return agg.coalesce(1).withColumn(
             "term_id", (F.row_number().over(w) - 1).cast("long"))
+    if n is None:  # caller-asserted large vocab: persist for the range path
+        agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(agg)
+        n = agg.count()
     out = assign_dense_ids(agg, ["term"], "term_id", num_partitions)
     # vocab-sized output: ~2M terms per parquet file, not one file per task
     return out.coalesce(max(1, n // (2 << 20) + 1))

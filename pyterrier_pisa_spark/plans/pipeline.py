@@ -79,7 +79,20 @@ def prepare_corpus(
             "docno", F.col(docno_col).cast("string")
         )
     corpus = corpus.withColumn("docno", F.col(docno_col).cast("string"))
-    return B.assign_dense_ids(corpus, ["docno"], "docid", num_partitions)
+    # docid assignment runs over the NARROW (docno) projection, never the
+    # content column: ids are then broadcast-joined back, so the corpus is
+    # not range-shuffled (content bytes through an exchange + a corpus-sized
+    # cache are pure bandwidth cost — the resource that does NOT scale with
+    # cores). Above the broadcast budget (~5M docnos) the ids join falls back
+    # to a shuffle join — still docno-only on the build side; the corpus side
+    # shuffles once, which at that scale is the ingestion-order cost the
+    # reference pays too (``indexers.py:68-75``).
+    ids = B.assign_dense_ids(corpus.select("docno"), ["docno"], "docid",
+                             num_partitions).select("docno", "docid")
+    ndocs = ids.count()  # narrow count; also materializes the frozen ranges
+    if ndocs <= 5_000_000:
+        ids = F.broadcast(ids)
+    return corpus.join(ids, "docno")
 
 
 def build_logical_index(

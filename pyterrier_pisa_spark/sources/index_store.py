@@ -142,14 +142,18 @@ def build_index(
     # explode is pure JVM; docmap never touches the terms columns), which is
     # also the reference's fwd artifact (S5 ``get_corpus_iter``,
     # ``__init__.py:371-390``) for free.
-    np_ = num_partitions or spark.sparkContext.defaultParallelism
+    from ..operators.retrieve import shuffle_parts
+
+    sp_ = num_partitions or shuffle_parts(spark)
     if not _phase_done(path, "tf"):
         from pyspark.sql import Observation
 
         # small inputs arrive in few parquet splits (maxPartitionBytes); the
-        # tokenize UDF stage must span the full parallelism regardless
-        if corpus.rdd.getNumPartitions() < np_:
-            corpus = corpus.repartition(np_)
+        # tokenize UDF stage must span the full parallelism regardless — and
+        # at FINE, cluster-size-invariant granularity (shuffle-partitions
+        # width): doc-length variance balances over waves at any core count
+        if corpus.rdd.getNumPartitions() < sp_:
+            corpus = corpus.repartition(sp_)
         prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col,
                                   num_partitions=num_partitions)
         fwd = _toks_fwd(prepared, scale) if pretokenized else _text_fwd(prepared, stemmer)
@@ -181,12 +185,12 @@ def build_index(
 
     if os.path.exists(os.path.join(path, "fwd")):
         fwd = spark.read.parquet(os.path.join(path, "fwd"))
-        if fwd.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        if fwd.rdd.getNumPartitions() < sp_:
             # the explode/join map side of the invert must not be throttled
-            # by fewer parquet splits than cores; when the splits already
-            # cover the cores, skip the exchange — it re-shuffles the whole
+            # by fewer parquet splits than shuffle width; when the splits
+            # already cover it, skip the exchange — it re-shuffles the whole
             # fwd table TWICE (lexicon scan + invert scan) for nothing
-            fwd = fwd.repartition(np_)
+            fwd = fwd.repartition(sp_)
         tf = _fwd_to_tf(fwd)
         docmap = fwd.select("docid", "docno", "doclen", "content_sha256")
     else:  # streaming ingest writes flat tf + docmap shards instead of fwd
@@ -196,9 +200,6 @@ def build_index(
     # ----------------------------------------------------- phase 2: lexicon
     if not _phase_done(path, "lexicon"):
         t1 = time.time()
-        lexicon = B.build_lexicon(tf, num_partitions)
-        lexicon.write.mode("overwrite").parquet(os.path.join(path, "lexicon"))
-        lex_r = spark.read.parquet(os.path.join(path, "lexicon"))
         # collection stats rode the phase-1 write's Observation when this
         # build ran phase 1 (batch path); streaming/CIFF ingest markers lack
         # them -> one agg over docmap as the fallback
@@ -209,8 +210,27 @@ def build_index(
                      "avg_doclen": (tot / nd) if nd else 0.0}
         else:
             stats = B.collection_stats(docmap)
-        # the validate agg doubles as the term count (one job, not two)
-        stats["num_terms"] = B.validate_dense_ids(lex_r, "term_id")
+        # vocab size gate WITHOUT a probe job: vocab <= total docs * terms/doc,
+        # and a <=1M-doc corpus can't produce a vocab that breaks the one-task
+        # sort (worst case a few M strings). The small path then needs neither
+        # the probe count (no persist, one scan total) nor the validation pass
+        # (row_number construction is dense by definition) — both were pure
+        # serial seconds on the build's critical path.
+        small = stats["num_docs"] <= 1_000_000
+        lexicon = B.build_lexicon(tf, num_partitions,
+                                  small_vocab=(True if small else None))
+        from pyspark.sql import Observation
+
+        lobs = Observation("lexicon_stats")
+        lexicon = lexicon.observe(lobs, F.count(F.lit(1)).alias("nterms"))
+        lexicon.write.mode("overwrite").parquet(os.path.join(path, "lexicon"))
+        lex_r = spark.read.parquet(os.path.join(path, "lexicon"))
+        if small:
+            stats["num_terms"] = int(lobs.get["nterms"] or 0)
+        else:
+            # range-assigned ids get the hard corruption gate (the agg doubles
+            # as the term count — one job, not two)
+            stats["num_terms"] = B.validate_dense_ids(lex_r, "term_id")
         _append_metrics(spark, path, "lexicon",
                         [("lexicon", -1, stats["num_docs"], stats["num_terms"], 0, time.time())])
         _commit_phase(path, "lexicon", {"stats": stats, "sec": time.time() - t1})
@@ -383,9 +403,16 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
     numpy passes (``reduceat`` maxima, segment varint encode); no per-posting
     or per-block Python.
     """
+    from ..operators.retrieve import shuffle_parts
+
     avgdl = stats["avg_doclen"]
     codec = get_codec(encoding)
-    np_ = num_partitions or spark.sparkContext.defaultParallelism
+    # reduce-side width of THE shuffle: the session's shuffle-partitions knob,
+    # NOT defaultParallelism — (a) cluster-size-invariant task structure (the
+    # same build at N and 4N executors runs identical tasks), (b) many more
+    # tasks than cores, so Zipf-skewed (term, chunk) group sizes amortize over
+    # waves instead of idling cores behind one straggler reducer
+    np_ = num_partitions or shuffle_parts(spark)
     blocks_per_chunk = chunk_span // block_size + 1
 
     # the shuffled posting row is as NARROW as possible — (term_id, docid,

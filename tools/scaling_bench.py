@@ -219,7 +219,8 @@ def main() -> None:
     # median over the most recent 3 runs of the SAME workload — the
     # north-rule evidence is the TYPICAL efficiency, not the lucky tail
     same = [r for r in hist["runs"]
-            if r.get("docs") == out["docs"] and r.get("avg_tokens") == out.get("avg_tokens")][-3:]
+            if r.get("docs") == out["docs"] and r.get("avg_tokens") == out.get("avg_tokens")
+            and set(r.get("pairs", {})) == set(out["pairs"])][-3:]
     import statistics as _st
     if same:
         hist["median_recent"] = {
