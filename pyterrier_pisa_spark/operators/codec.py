@@ -155,6 +155,58 @@ def decode_block(docids_delta: bytes, tfs: bytes, count: int) -> tuple[np.ndarra
 
 # ------------------------------------------------------- encoding registry
 
+def bitpack_encode(values: np.ndarray) -> bytes:
+    """Block-level bitpacking: 1 header byte (bit width 0..64) followed by
+    every value packed at exactly that width, little-endian bit order — the
+    reference's default ``block_simdbp`` encoding family
+    (``__init__.py:72-89``: per-128-block bit-packed with a per-block width;
+    the SIMD unpacking is an execution detail, the FORMAT idea is the
+    per-block fixed bit width). Denser than bytepack whenever the block's max
+    gap isn't a power-of-256, denser than varint on uniform gaps."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"\x00"
+    mx = int(v.max())
+    w = mx.bit_length()
+    if w == 0:
+        return b"\x00"
+    bits = ((v[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.uint8).ravel()
+    return bytes([w]) + np.packbits(bits, bitorder="little").tobytes()
+
+
+def bitpack_decode(buf: bytes | bytearray | memoryview,
+                   count: int | None = None) -> np.ndarray:
+    b = memoryview(buf)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    w = b[0]
+    if w == 0:
+        if count is None:
+            raise ValueError("bitpack_decode: width-0 stream needs an explicit count")
+        return np.zeros(count, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(b[1:], dtype=np.uint8), bitorder="little")
+    n = bits.size // w
+    vals = (bits[: n * w].reshape(n, w).astype(np.uint64)
+            << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    if count is not None:
+        if n < count:
+            raise ValueError(f"bitpack_decode: expected {count} values, got {n}")
+        vals = vals[:count]  # trailing pad bits of the last byte
+    return vals
+
+
+def bitpack_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Per-segment bitpack (widths chosen per block, like the reference's
+    per-block bit width); numpy per segment."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    starts = np.asarray(seg_starts, dtype=np.int64)
+    ends = np.concatenate((starts[1:], [v.size]))
+    return [bitpack_encode(v[a:b]) for a, b in zip(starts, ends)]
+
+
 def bytepack_encode(values: np.ndarray) -> bytes:
     """Byte-aligned fixed-width encoding: 1 header byte (width 1/2/4/8)
     followed by the values at that width, little-endian. The fixed-width
@@ -222,6 +274,8 @@ ENCODINGS = {
                     varint_decode_segments),
     "bytepack": Codec("bytepack", bytepack_encode, bytepack_decode,
                       bytepack_encode_segments),
+    "bitpack": Codec("bitpack", bitpack_encode, bitpack_decode,
+                     bitpack_encode_segments),
 }
 DEFAULT_ENCODING = "varint"
 

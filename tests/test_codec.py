@@ -92,7 +92,7 @@ def test_codec_registry():
 
     from pyterrier_pisa_spark.operators.codec import ENCODINGS, get_codec
 
-    assert set(ENCODINGS) == {"varint", "bytepack"}
+    assert set(ENCODINGS) == {"varint", "bytepack", "bitpack"}
     assert get_codec(None).name == "varint"
     with _pytest.raises(ValueError, match="unknown index encoding"):
         get_codec("simd9000")
@@ -121,3 +121,38 @@ def test_decode_segments_roundtrip_both_codecs():
     seg = delta_decode_segments(flat, starts)
     exp = np.concatenate([np.cumsum(b.astype(np.int64)) for b in blocks])
     np.testing.assert_array_equal(seg, exp)
+
+
+def test_bitpack_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyterrier_pisa_spark.operators.codec import bitpack_decode, bitpack_encode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+    def roundtrip(vals):
+        a = np.array(vals, dtype=np.uint64)
+        assert (bitpack_decode(bitpack_encode(a), len(a)) == a).all()
+
+    roundtrip()
+
+
+def test_bitpack_density():
+    """Per-block bit width: 128 gaps of max 7 pack at 3 bits/value (+1 header
+    byte), denser than both varint (1 B/value) and bytepack."""
+    import numpy as np
+
+    from pyterrier_pisa_spark.operators.codec import (bitpack_encode,
+                                                      bytepack_encode,
+                                                      varint_encode)
+
+    gaps = np.full(128, 7, dtype=np.uint64)
+    bp = bitpack_encode(gaps)
+    assert len(bp) == 1 + (128 * 3 + 7) // 8  # 49 bytes
+    assert len(bp) < len(varint_encode(gaps)) < len(bytepack_encode(gaps)) + 1
+    # width-0 stream (all zeros)
+    z = np.zeros(50, dtype=np.uint64)
+    from pyterrier_pisa_spark.operators.codec import bitpack_decode
+    assert (bitpack_decode(bitpack_encode(z), 50) == z).all()

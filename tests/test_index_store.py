@@ -265,9 +265,10 @@ def test_dataset_registry_roundtrip(spark, tmp_path):
         register_dataset("bad", str(tmp_path / "missing"), registry_dir=reg)
 
 
-def test_bytepack_encoding_index_rank_identical(spark, tmp_path):
-    """B8 encoding parity: a bytepack-encoded index must return rank- AND
-    score-identical results to the default varint index (encodings are
+@pytest.mark.parametrize("enc", ["bytepack", "bitpack"])
+def test_encoding_index_rank_identical(spark, tmp_path, enc):
+    """B8 encoding parity: a bytepack/bitpack-encoded index must return rank-
+    AND score-identical results to the default varint index (encodings are
     rank-preserving storage variants, reference index_encoding semantics)."""
     import numpy as np
 
@@ -277,13 +278,13 @@ def test_bytepack_encoding_index_rank_identical(spark, tmp_path):
 
     corpus = synth_code_corpus(spark, num_docs=300, seed=6)
     pv = str(tmp_path / "v_idx")
-    pb = str(tmp_path / "b_idx")
+    pb = str(tmp_path / f"{enc}_idx")
     build_index(corpus, pv, stemmer="porter2", block_size=32, chunk_span=64,
                 mode="overwrite")
     build_index(corpus, pb, stemmer="porter2", block_size=32, chunk_span=64,
-                mode="overwrite", encoding="bytepack")
+                mode="overwrite", encoding=enc)
     iv, ib = load_index(spark, pv), load_index(spark, pb)
-    assert ib.meta["encoding"] == "bytepack"
+    assert ib.meta["encoding"] == enc
     qs = [("q1", "parse index query"), ("q2", "def return")]
     for fn in (retrieve_blockmax, retrieve_blockmax_batch):
         a = fn(iv, qs, k=20, include_query=False).toPandas().sort_values(
