@@ -13,7 +13,7 @@ Quick start::
 """
 
 from .functions.tokenizer import tokenize_text as tokenize
-from .operators.serve import LocalSearcher
+from .operators.serve import LocalSearcher, ShardedLocalSearcher
 from .operators.wand import retrieve_blockmax
 from .plans.api import PISA_INDEX_DEFAULTS, PisaSparkIndex, SparkRetriever
 from .plans.pipeline import (
@@ -46,6 +46,7 @@ __all__ = [
     "PISA_INDEX_DEFAULTS",
     "PersistedIndex",
     "PisaSparkIndex",
+    "ShardedLocalSearcher",
     "SparkRetriever",
     "build_index",
     "build_logical_index",

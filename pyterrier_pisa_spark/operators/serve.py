@@ -67,6 +67,71 @@ def _topk_exact(qid: str, docids: np.ndarray, scores: np.ndarray,
     return _topk_frame(qid, docids, scores, k)
 
 
+class ShardedLocalSearcher:
+    """Docid-range-sharded serving fleet — the serving tier's scale path: N
+    ``LocalSearcher`` replicas over chunk-aligned docid slices of ONE index
+    (in production each slice lives on its own host; here the class holds
+    them in-process to pin the merge math). Global collection statistics are
+    shared — scoring is identical to the unsharded engine because every doc's
+    postings live entirely in one shard (blocks are chunk-local by the build
+    contract, and shard boundaries align to chunks). Per-shard top-ks merge
+    under the same (float32(score) DESC, docid ASC) order, so results are
+    EXACT: a global top-k doc is necessarily in its shard's local top-k.
+    """
+
+    def __init__(self, index, n_shards: int = 2, scorer: str = "bm25", **kw):
+        import math
+        from dataclasses import replace
+
+        from ..sources.index_store import ensure_term_stats
+
+        # pre-warm GLOBAL term stats so every shard prunes with collection-
+        # wide (sound) bounds — a shard-local cache write would poison the
+        # shared cache directory with underestimates for the other shards
+        ensure_term_stats(index, scorer,
+                          k1=kw.get("k1") or index.meta["scorer"].get("k1", 0.9),
+                          b=kw.get("b") or index.meta["scorer"].get("b", 0.4),
+                          mu=kw.get("mu", 1000.0), c=kw.get("c", 1.0))
+        span = int(index.meta.get("chunk_span", 1 << 16))
+        nd = int(index.stats["num_docs"])
+        chunks = max(1, math.ceil(nd / span))
+        per = max(1, math.ceil(chunks / n_shards))
+        self.shards: list[LocalSearcher] = []
+        for s in range(n_shards):
+            lo, hi = s * per * span, min((s + 1) * per * span, chunks * span)
+            if lo >= nd:
+                break
+            view = replace(
+                index,
+                blocks=index.blocks.filter(
+                    (F.col("docid_first") >= lo) & (F.col("docid_first") < hi)),
+                docmap=index.docmap.filter(
+                    (F.col("docid") >= lo) & (F.col("docid") < hi)),
+            )
+            self.shards.append(LocalSearcher(view, scorer=scorer, **kw))
+
+    def _merge(self, parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
+        allp = pd.concat(parts, ignore_index=True)
+        if not len(allp):
+            return allp
+        outs = []
+        for qid, grp in allp.groupby("qid", sort=False):
+            sc = grp["score"].to_numpy(np.float32)
+            d = grp["docid"].to_numpy(np.int64)
+            order = np.lexsort((d, -sc))[:k]
+            g = grp.iloc[order].reset_index(drop=True)
+            g["rank"] = np.arange(len(g), dtype=np.int32)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    def search(self, queries, k: int = 1000, **kw) -> pd.DataFrame:
+        return self._merge([s.search(queries, k=k, **kw) for s in self.shards], k)
+
+    def search_toks(self, queries_toks, k: int = 1000, **kw) -> pd.DataFrame:
+        return self._merge(
+            [s.search_toks(queries_toks, k=k, **kw) for s in self.shards], k)
+
+
 class LocalSearcher:
     """In-process top-k search over a collected block index, one scorer.
 

@@ -105,3 +105,25 @@ def test_api_sugar(spark, serve_idx, tmp_path_factory):
     api = PisaSparkIndex(serve_idx.path, spark=spark)
     ls = api.local_searcher()
     assert len(ls.search([("1", "parse index")], k=5)) > 0
+
+
+@pytest.mark.parametrize("scorer,mode", [("bm25", "dense"), ("dph", "blockmax")])
+def test_sharded_matches_unsharded(spark, tmp_path_factory, scorer, mode):
+    """Docid-range sharding is exact: per-shard top-ks merged under the same
+    float32-granularity order reproduce the unsharded searcher row for row
+    (chunk-aligned boundaries; global term stats shared)."""
+    from pyterrier_pisa_spark.operators.serve import ShardedLocalSearcher
+    from pyterrier_pisa_spark.sources.corpus import synth_code_corpus
+
+    path = str(tmp_path_factory.mktemp("shard") / "idx")
+    corpus = synth_code_corpus(spark, num_docs=600, seed=13)
+    # small chunk_span so 600 docs span many chunks -> real shard boundaries
+    build_index(corpus, path, stemmer="porter2", mode="overwrite",
+                chunk_span=64, block_size=32)
+    idx = load_index(spark, path)
+    single = LocalSearcher(idx, scorer=scorer, mode=mode)
+    fleet = ShardedLocalSearcher(idx, n_shards=3, scorer=scorer, mode=mode)
+    assert len(fleet.shards) == 3
+    a = single.search(QUERIES, k=30).sort_values(["qid", "rank"], ignore_index=True)
+    b = fleet.search(QUERIES, k=30).sort_values(["qid", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
