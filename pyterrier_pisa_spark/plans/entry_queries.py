@@ -165,24 +165,26 @@ def q_block_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PERSISTED: dict[str, object] = {}
 
 
-def _persisted(spark: SparkSession, sf_dir: str):
-    """One shared persisted block index per sf_dir (built into a tempdir):
-    every entry exercising the pruned/batch kernels reuses it instead of
-    re-inverting the corpus."""
+def _persisted(spark: SparkSession, sf_dir: str, encoding: str = "varint"):
+    """One shared persisted block index per (sf_dir, encoding) (built into a
+    tempdir): every entry exercising the pruned/batch kernels reuses it
+    instead of re-inverting the corpus."""
     import tempfile
 
     from ..sources.index_store import build_index, load_index
 
-    if sf_dir not in _PERSISTED:
+    key = (sf_dir, encoding)
+    if key not in _PERSISTED:
         corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("doc_id").cast("string").alias("docno"),
             F.col("text").alias("content"),
         )
         path = tempfile.mkdtemp(prefix="ppisa_idx_") + "/idx"
-        build_index(corpus, path, stemmer="none", id_col="doc_id", mode="overwrite")
-        _PERSISTED[sf_dir] = load_index(spark, path)
-    return _PERSISTED[sf_dir]
+        build_index(corpus, path, stemmer="none", id_col="doc_id",
+                    mode="overwrite", encoding=encoding)
+        _PERSISTED[key] = load_index(spark, path)
+    return _PERSISTED[key]
 
 
 def _blockmax_batch_topk(spark: SparkSession, sf_dir: str, scorer: str) -> DataFrame:
@@ -260,6 +262,39 @@ def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _persisted(spark, sf_dir)
     res = retrieve_blockmax(idx, QUERIES, k=TOPK_K, stopwords="none",
                             include_query=False, cast_float32=False)
+    return res.select("qid", F.col("docid").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_bm25_topk_bitpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 encoding registry end-to-end under the oracle: a BITPACK-encoded
+    index (per-block bit width, the reference block_simdbp format family)
+    must answer the pruned kernel with the SAME DuckDB oracle rows as the
+    varint index — encodings are rank-preserving storage variants."""
+    from ..operators.wand import retrieve_blockmax
+
+    idx = _persisted(spark, sf_dir, encoding="bitpack")
+    res = retrieve_blockmax(idx, QUERIES, k=TOPK_K, stopwords="none",
+                            include_query=False, cast_float32=False)
+    return res.select("qid", F.col("docid").alias("doc_id"),
+                      F.round(F.col("score"), 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_bm25_topk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-process serving engine (LocalSearcher dense mode) under the
+    DuckDB oracle: collect the block index to the driver, answer with zero
+    Spark jobs, re-wrap the pandas result as a DataFrame — must reproduce the
+    SAME oracle rows as the exhaustive plan and the Spark kernels."""
+    from ..operators.serve import LocalSearcher
+
+    idx = _persisted(spark, sf_dir)
+    ls = LocalSearcher(idx, stopwords="none")
+    pdf = ls.search(QUERIES, k=TOPK_K, cast_float32=False)
+    res = spark.createDataFrame(
+        pdf[["qid", "docid", "score", "rank"]],
+        schema="qid string, docid long, score double, rank int")
     return res.select("qid", F.col("docid").alias("doc_id"),
                       F.round(F.col("score"), 4).alias("score"),
                       F.col("rank").cast("int").alias("rank"))
@@ -412,6 +447,8 @@ SELECT qid, doc_id, round(score, 4) AS score, (rnk - 1)::INT AS rank FROM (
 ) WHERE rnk <= {TOPK_K}"""
 
 ORACLES["bm25_topk_blockmax"] = ORACLES["bm25_topk"]
+ORACLES["bm25_topk_bitpack"] = ORACLES["bm25_topk"]
+ORACLES["bm25_topk_local"] = ORACLES["bm25_topk"]
 
 ORACLES["ranked_and_topk"] = f"""WITH {_SQL_TOKS}, {_SQL_QUERY_TERMS}, {_SQL_BM25_SCORED},
 qcount AS (
@@ -570,6 +607,8 @@ IR_QUERIES = {
     "block_max": q_block_max,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_blockmax": q_bm25_topk_blockmax,
+    "bm25_topk_bitpack": q_bm25_topk_bitpack,
+    "bm25_topk_local": q_bm25_topk_local,
     "ranked_and_topk": q_ranked_and_topk,
     "dph_topk": q_dph_topk,
     "pl2_topk": q_pl2_topk,
