@@ -282,6 +282,58 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("id_b").cast("long").alias("id_b"), "jaccard")
 
 
+NEARDUP_T = 0.28   # testdata embeddings are near-random (max pair cos ~0.47):
+NEARDUP_BITS = 6   # the entry pins the PIPELINE (blocking + verify), not recall
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the dedup family's embedding member):
+    hyperplane-LSH-blocked candidate pairs + exact cosine >= threshold —
+    fully ORACLED, the SQL replicating the same seeded bucket math and
+    hamming<=1 probe join (pairs outside the blocks are dropped by BOTH
+    sides: the entry pins the blocking pipeline, not recall)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.embedding_near_dup(emb, threshold=NEARDUP_T, bits=NEARDUP_BITS,
+                                 dim=ANN_DIM, multiprobe_hamming=1)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"), "cos")
+
+
+def _neardup_oracle() -> str:
+    """SQL replica of embedding_near_dup(threshold, bits=6, dim=64, seed=42,
+    hamming=1): same literal hyperplanes, same single-sided probe explosion
+    (each hamming<=1 pair joins exactly once), same left-to-right float
+    chains, same round(cos, 6)."""
+    planes = SIM._hyperplanes(ANN_DIM, NEARDUP_BITS, seed=42)
+
+    def dot_chain(vec: str, row) -> str:
+        return " + ".join(f"{vec}[{i + 1}]::DOUBLE * {float(c)!r}" for i, c in enumerate(row))
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN 0.0 + {dot_chain(vec, row)} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, row in enumerate(planes)
+        )
+
+    pair_dot = " + ".join(f"a.embedding[{i + 1}]::DOUBLE * b.embedding[{i + 1}]::DOUBLE"
+                          for i in range(ANN_DIM))
+    nrm = lambda pfx: "sqrt(0.0 + " + " + ".join(
+        f"{pfx}[{i + 1}]::DOUBLE * {pfx}[{i + 1}]::DOUBLE" for i in range(ANN_DIM)) + ")"
+    probes = ", ".join(str(1 << j) for j in range(NEARDUP_BITS))
+    return f"""WITH
+c AS (SELECT vec_id, embedding, ({bucket_expr('embedding')})::INT AS bucket FROM embeddings),
+p AS (SELECT vec_id, embedding, xor(bucket, flip)::INT AS bucket
+      FROM c, unnest([0, {probes}]) t(flip)),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (0.0 + {pair_dot}) / ({nrm('a.embedding')} * {nrm('b.embedding')}) AS cos
+    FROM c a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(cos, 6) AS cos
+FROM pairs WHERE cos >= {NEARDUP_T}
+"""
+
+
 def _lsh_ann_oracle() -> str:
     """SQL replica of lsh_cosine_topk(bits=8, dim=64, seed=42, hamming=1):
     plane coefficients embedded as literals; dot/norm chains written in the
@@ -476,6 +528,7 @@ PIPELINE_QUERIES = {
     "media_meta": q_media_meta,
     "ann_cosine_topk": q_ann_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "ivf_ann_topk": q_ivf_ann_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
 }
@@ -491,6 +544,7 @@ PIPELINE_ORACLES = {
     "media_meta": ORACLE_MEDIA_META,
     "ann_cosine_topk": ORACLE_ANN,
     "lsh_ann_topk": _lsh_ann_oracle(),
+    "embedding_neardup_pairs": _neardup_oracle(),
     "ivf_ann_topk": _ivf_ann_oracle(),
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
 }
