@@ -15,7 +15,18 @@ Quick start::
 from .functions.tokenizer import tokenize_text as tokenize
 from .operators.serve import LocalSearcher, ShardedLocalSearcher
 from .operators.wand import retrieve_blockmax
-from .plans.api import PISA_INDEX_DEFAULTS, PisaSparkIndex, SparkRetriever
+from .plans.api import (
+    PISA_INDEX_DEFAULTS,
+    PisaIndexEncoding,
+    PisaIndexingMode,
+    PisaQueryAlgorithm,
+    PisaScorer,
+    PisaSparkIndex,
+    PisaStemmer,
+    PisaStopwords,
+    SparkIndexer,
+    SparkRetriever,
+)
 from .plans.pipeline import (
     LogicalIndex,
     build_logical_index,
@@ -45,8 +56,15 @@ __all__ = [
     "LogicalIndex",
     "PISA_INDEX_DEFAULTS",
     "PersistedIndex",
+    "PisaIndexEncoding",
+    "PisaIndexingMode",
+    "PisaQueryAlgorithm",
+    "PisaScorer",
     "PisaSparkIndex",
+    "PisaStemmer",
+    "PisaStopwords",
     "ShardedLocalSearcher",
+    "SparkIndexer",
     "SparkRetriever",
     "build_index",
     "build_logical_index",

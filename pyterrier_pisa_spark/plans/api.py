@@ -24,8 +24,72 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from enum import Enum
+
 from ..functions.stopwords import DEFAULT_STOPWORDS
 from ..functions.tokenizer import tokenize_text
+
+
+class PisaStemmer(Enum):
+    """Reference ``PisaStemmer`` (``__init__.py:27-51``). krovetz is accepted
+    by the enum for signature parity; selecting it raises the documented
+    out-of-scope error at tokenize time."""
+    none = "none"
+    porter2 = "porter2"
+    krovetz = "krovetz"
+
+
+class PisaScorer(Enum):
+    """Reference ``PisaScorer`` (``__init__.py:53-70``)."""
+    bm25 = "bm25"
+    dph = "dph"
+    pl2 = "pl2"
+    qld = "qld"
+    quantized = "quantized"
+
+
+class PisaIndexEncoding(Enum):
+    """This engine's posting-block encodings (reference ``PisaIndexEncoding``
+    lists 14 SIMD variants, ``__init__.py:72-89``; the reference's own test
+    matrix proves encodings are rank-preserving perf variants, so this engine
+    ships the three FORMAT families: varint (LEB128), bytepack (fixed byte
+    width), bitpack (per-block fixed bit width — the block_simdbp family))."""
+    varint = "varint"
+    bytepack = "bytepack"
+    bitpack = "bitpack"
+
+
+class PisaQueryAlgorithm(Enum):
+    """Reference ``PisaQueryAlgorithm`` (``__init__.py:93-105``) plus this
+    engine's batch mode. wand/maxscore/block_max_maxscore map onto the pruned
+    per-query kernel (same exact-pruning core); ranked_or/ranked_and are the
+    exhaustive DataFrame plans."""
+    wand = "wand"
+    block_max_wand = "block_max_wand"
+    block_max_maxscore = "block_max_maxscore"
+    maxscore = "maxscore"
+    ranked_and = "ranked_and"
+    ranked_or = "ranked_or"
+    batch = "batch"
+
+
+class PisaStopwords(Enum):
+    """Reference ``PisaStopwords`` (``__init__.py:107-113``)."""
+    terrier = "terrier"
+    lucene = "lucene"
+    none = "none"
+
+
+class PisaIndexingMode(Enum):
+    """Reference ``indexers.py:20-23``."""
+    create = "create"
+    overwrite = "overwrite"
+
+
+def _val(x):
+    """Enums and their string values are interchangeable everywhere."""
+    return x.value if isinstance(x, Enum) else x
+
 
 PISA_INDEX_DEFAULTS = {
     # reference PISA_INDEX_DEFAULTS (__init__.py:117-123): Terrier stop list,
@@ -113,23 +177,54 @@ class SparkRetriever:
                  toks_scale: float = 100.0, verbose: bool = False,
                  threads: int | None = None, **scorer_params):
         self.index = index
-        self.scorer = scorer
+        self.scorer = _val(scorer)
         self.num_results = num_results
-        self.query_algorithm = query_algorithm
-        self.stops = stops
-        self.query_weighted = (scorer == "quantized") if query_weighted is None \
+        self.query_algorithm = _val(query_algorithm)
+        self.stops = _val(stops)
+        self.query_weighted = (self.scorer == "quantized") if query_weighted is None \
             else query_weighted
         self.toks_scale = toks_scale
         self.verbose = verbose      # parity no-op
         self.threads = threads      # parity no-op
         self.scorer_params = scorer_params
 
+    def fuse_rank_cutoff(self, k: int) -> "SparkRetriever | None":
+        """PyTerrier rank-cutoff fusion (reference ``__init__.py:475-479``):
+        a downstream ``% k`` folds into the retriever itself when smaller."""
+        if k < self.num_results:
+            return SparkRetriever(self.index, self.scorer, k,
+                                  self.query_algorithm, self.stops,
+                                  query_weighted=self.query_weighted,
+                                  toks_scale=self.toks_scale,
+                                  verbose=self.verbose, threads=self.threads,
+                                  **self.scorer_params)
+        return None
+
+    def reset_retrieval_context(self, force: bool = False) -> None:
+        """Reference ``__init__.py:454-473``: rebuild the cached retrieval
+        context. Here the context is the index's persisted lexicon/term-stats
+        caches plus the loaded table handles — drop and reload."""
+        from ..sources.index_store import load_index
+
+        if force or self.index._pidx is not None:
+            try:
+                self.index._pidx.lexicon.unpersist()
+            except Exception:
+                pass
+            self.index._pidx = load_index(self.index.spark, self.index.path)
+
+    def __repr__(self) -> str:
+        return (f"SparkRetriever({self.index!r}, {self.scorer!r}, "
+                f"num_results={self.num_results}, "
+                f"query_algorithm={self.query_algorithm!r})")
+
     def transform(self, queries) -> DataFrame:
         pretok, qs = _as_query_list(queries)
         pidx = self.index._persisted()
         qkw = ({"queries_toks": qs, "toks_scale": self.toks_scale}
                if pretok else {})
-        if self.query_algorithm in ("block_max_wand", "maxscore", "wand"):
+        if self.query_algorithm in ("block_max_wand", "block_max_maxscore",
+                                    "maxscore", "wand"):
             from ..operators.wand import retrieve_blockmax
 
             return retrieve_blockmax(pidx, None if pretok else qs,
@@ -166,6 +261,37 @@ class SparkRetriever:
         return self.transform([("1", query)])
 
 
+class SparkIndexer:
+    """Transformer-style indexer (reference ``PisaIndexer``/``PisaToksIndexer``,
+    ``indexers.py:25-107``): holds (index, mode, options); ``index(corpus)``
+    (alias ``transform``) runs the build. ``threads``/``batch_size`` are
+    parity no-ops."""
+
+    def __init__(self, index: "PisaSparkIndex", mode: str = "create",
+                 pretokenized: bool = False, scale: float = 100.0,
+                 threads: int | None = None, batch_size: int | None = None, **kw):
+        self.index_ref = index
+        self.mode = mode
+        self.pretokenized = pretokenized
+        self.scale = scale
+        self.threads = threads        # parity no-op
+        self.batch_size = batch_size  # parity no-op
+        self.kw = kw
+
+    def index(self, corpus: DataFrame) -> "PisaSparkIndex":
+        if self.pretokenized:
+            return self.index_ref.toks_index(corpus, scale=self.scale,
+                                             mode=self.mode, **self.kw)
+        return self.index_ref.index(corpus, mode=self.mode, **self.kw)
+
+    transform = index
+    __call__ = index
+
+    def __repr__(self) -> str:
+        kind = "toks_indexer" if self.pretokenized else "indexer"
+        return f"SparkIndexer({self.index_ref!r}, mode={self.mode!r}, {kind})"
+
+
 class PisaSparkIndex:
     """Reference ``PisaIndex`` parity over the persisted parquet block index."""
 
@@ -173,6 +299,9 @@ class PisaSparkIndex:
                  stemmer: str | None = None, stops=None, **build_defaults):
         self.path = path
         self.spark = spark or SparkSession.getActiveSession()
+        stemmer, stops = _val(stemmer), _val(stops)
+        if "encoding" in build_defaults:
+            build_defaults["encoding"] = _val(build_defaults["encoding"])
         # honor the stemmer an existing index (including a legacy
         # pt_pisa_config.json-era reference index) was built with, warning on
         # mismatch — reference ``__init__.py:160-171`` semantics
@@ -213,9 +342,35 @@ class PisaSparkIndex:
 
         params = dict(self.build_defaults)
         params.update(kw)
-        build_index(corpus, self.path, stemmer=self.stemmer, mode=mode, **params)
+        build_index(corpus, self.path, stemmer=self.stemmer, mode=_val(mode),
+                    **params)
         self._pidx = None
         return self
+
+    def index_inputs(self) -> list[list[str]]:
+        """Expected input columns (reference ``__init__.py:189-200``), plus
+        this engine's source-code corpus shape."""
+        return [
+            ["docno", "content"],                         # typical case
+            ["docno", "toks"],                            # pretokenized
+            ["repo", "path", "commit", "lang", "content"],  # input_hint shape
+            ["docno"],                                    # generic
+        ]
+
+    def indexer(self, mode="create", **kw) -> "SparkIndexer":
+        """Indexer-factory parity (reference ``__init__.py:392-401``):
+        returns a transformer-style object whose ``.index(corpus)`` builds
+        this index. ``threads``/``batch_size`` are accepted no-ops (Spark's
+        scheduler and Arrow batching own those knobs)."""
+        return SparkIndexer(self, mode=_val(mode), pretokenized=False, **kw)
+
+    def toks_indexer(self, mode="create", scale: float = 100.0, **kw) -> "SparkIndexer":
+        """Pretokenized indexer factory (reference ``__init__.py:403-415``)."""
+        return SparkIndexer(self, mode=_val(mode), pretokenized=True,
+                            scale=scale, **kw)
+
+    def __repr__(self) -> str:
+        return f"PisaSparkIndex({self.path!r})"
 
     def toks_index(self, corpus: DataFrame, scale: float = 100.0,
                    mode: str = "create", **kw) -> "PisaSparkIndex":

@@ -183,3 +183,59 @@ def test_log_level_toggle(spark):
 
     log_level(True)
     log_level(False)  # leaves the suite quiet; just must not raise
+
+
+def test_enum_parity_surface(spark, tmp_path):
+    """Reference users pass enums (PisaScorer.bm25, PisaStopwords.none, ...);
+    every API entry point must accept enum OR string interchangeably
+    (reference __init__.py:27-123)."""
+    from pyterrier_pisa_spark import (PisaIndexEncoding, PisaIndexingMode,
+                                      PisaQueryAlgorithm, PisaScorer,
+                                      PisaStemmer, PisaStopwords)
+
+    corpus = spark.createDataFrame(DOCS, schema="docno string, content string")
+    idx = PisaSparkIndex(str(tmp_path / "enum_idx"), spark=spark,
+                         stemmer=PisaStemmer.porter2,
+                         encoding=PisaIndexEncoding.bitpack)
+    idx.index(corpus, mode=PisaIndexingMode.overwrite)
+    retr = idx.bm25(num_results=5, stops=PisaStopwords.none,
+                    query_algorithm=PisaQueryAlgorithm.block_max_wand)
+    assert len(retr.search("chemical reactions").toPandas()) > 0
+    assert idx._persisted().meta["encoding"] == "bitpack"
+    # maxscore-family aliases route to the pruned kernel
+    r2 = idx.dph(query_algorithm=PisaQueryAlgorithm.block_max_maxscore,
+                 num_results=5)
+    assert len(r2.search("chemical reactions").toPandas()) > 0
+    assert PisaScorer.quantized.value == "quantized"
+
+
+def test_indexer_factories_and_inputs(spark, tmp_path):
+    """indexer()/toks_indexer() parity (reference __init__.py:392-415) and
+    index_inputs() (reference __init__.py:189-200)."""
+    from pyterrier_pisa_spark import PisaSparkIndex
+
+    idx = PisaSparkIndex(str(tmp_path / "fx_idx"), spark=spark)
+    assert ["docno", "content"] in idx.index_inputs()
+    corpus = spark.createDataFrame(DOCS, schema="docno string, content string")
+    ixr = idx.indexer(mode="overwrite", threads=4, batch_size=1000)
+    ixr.index(corpus)
+    assert idx.built() and idx.num_docs() == 4
+
+    tidx = PisaSparkIndex(str(tmp_path / "fx_toks"), spark=spark, stemmer="none")
+    toks = spark.createDataFrame([("d1", {"a": 2.0})],
+                                 schema="docno string, toks map<string,double>")
+    tidx.toks_indexer(mode="overwrite", scale=1.0).transform(toks)
+    assert tidx.num_docs() == 1
+
+
+def test_fuse_rank_cutoff_and_reset(spark, api_idx):
+    retr = api_idx.bm25(num_results=100)
+    fused = retr.fuse_rank_cutoff(3)
+    assert fused is not None and fused.num_results == 3
+    assert retr.fuse_rank_cutoff(1000) is None
+    res = fused.search("chemical reactions").toPandas()
+    assert len(res) <= 3
+    fused.reset_retrieval_context(force=True)   # must not raise; reloads
+    res2 = fused.search("chemical reactions").toPandas()
+    assert res.equals(res2)
+    assert "SparkRetriever" in repr(fused) and "PisaSparkIndex" in repr(api_idx)
