@@ -139,3 +139,44 @@ def test_streaming_dedup_exact_stateful(spark, tmp_path):
     batch2.coalesce(1).write.mode("append").parquet(src)
     got2 = run()
     assert got2 == {"d1", "d2", "d5"}, got2
+
+
+def test_watermark_drops_late_data_across_epochs(spark, tmp_path):
+    """Append-mode watermark semantics end-to-end: a window is emitted once
+    the watermark passes its end, and an event arriving BEHIND the watermark
+    in a later epoch is dropped (the watermark persists in the checkpoint) —
+    the late-data contract a 100 TB streaming ingest relies on."""
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_epoch(rows):
+        df = spark.createDataFrame(rows, schema="ts_s string, content string") \
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("content string, ts timestamp").parquet(src)
+        agg = streaming_term_counts(stream, window="10 minutes", watermark="5 minutes")
+        q = (agg.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(str(r["window_start"]), r["term"]): r["n"]
+                for r in spark.read.parquet(sink).collect()}
+
+    # epoch 1: two on-time events in window 00:00, one at 00:22 that pushes
+    # the watermark to 00:17 and thereby CLOSES (emits) the 00:00 window
+    out1 = run_epoch([
+        ("2024-01-01 00:01:00", "spark index"),
+        ("2024-01-01 00:04:00", "spark"),
+        ("2024-01-01 00:22:00", "merge"),
+    ])
+    assert out1[("2024-01-01 00:00:00", "spark")] == 2  # emitted, late row absent
+
+    # epoch 2: a LATE event for the already-closed 00:00 window (behind the
+    # checkpointed watermark -> dropped) + 00:35 closes the 00:20 window
+    out2 = run_epoch([
+        ("2024-01-01 00:02:00", "spark"),          # late: must be dropped
+        ("2024-01-01 00:35:00", "shard"),
+    ])
+    assert out2[("2024-01-01 00:00:00", "spark")] == 2   # unchanged by the late row
+    assert out2[("2024-01-01 00:20:00", "merge")] == 1   # closed by epoch 2
