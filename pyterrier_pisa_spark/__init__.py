@@ -12,6 +12,7 @@ Quick start::
     results = retrieve_blockmax(idx, [("q1", "hello worlds")], k=1000)
 """
 
+from .functions.tokenizer import DictTokeniser
 from .functions.tokenizer import tokenize_text as tokenize
 from .operators.serve import LocalSearcher, ShardedLocalSearcher
 from .operators.wand import retrieve_blockmax
@@ -52,6 +53,7 @@ def log_level(on: bool = True) -> None:
         spark.sparkContext.setLogLevel("INFO" if on else "ERROR")
 
 __all__ = [
+    "DictTokeniser",
     "LocalSearcher",
     "LogicalIndex",
     "PISA_INDEX_DEFAULTS",

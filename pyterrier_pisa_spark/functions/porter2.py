@@ -273,18 +273,54 @@ def stem(token: str) -> str:
     return word.replace("Y", "y")
 
 
+# Optional fast path: PyStemmer (the Snowball project's own C bindings,
+# algorithm-identical porter2/"english") — used transparently when importable
+# (not in this container; the from-spec Python above is the vendored default).
+# Disable with PYTERRIER_PISA_SPARK_NO_PYSTEMMER=1 for strict reproducibility.
+_PYSTEMMER = None
+try:  # pragma: no cover - PyStemmer absent in the build sandbox
+    import os as _os
+
+    if _os.environ.get("PYTERRIER_PISA_SPARK_NO_PYSTEMMER") != "1":
+        import Stemmer as _Stemmer  # noqa: N811
+
+        _PYSTEMMER = _Stemmer.Stemmer("english").stemWord
+except Exception:
+    _PYSTEMMER = None
+
+_stem_impl = _PYSTEMMER or stem
+
+# PROCESS-LIFETIME stem memo: Spark reuses Python workers across Arrow batches
+# and tasks (spark.python.worker.reuse), so a module-global cache amortizes the
+# Zipf head of the vocabulary across the WHOLE build a worker participates in,
+# not just one batch. Bounded so an adversarial unbounded vocabulary cannot
+# grow worker memory without limit (at the cap the long tail is stemmed
+# directly — by Zipf's law those tokens are rare).
+_MEMO: dict[str, str] = {}
+_MEMO_MAX = 2_000_000
+
+
 class CachedStemmer:
-    """Memoizing wrapper — vocabulary is Zipfian, so per-unique-token cost
-    amortizes to ~0 inside Arrow batch UDFs."""
+    """Memoizing wrapper over the process-lifetime stem memo — vocabulary is
+    Zipfian, so per-unique-token cost amortizes to ~0 across all Arrow
+    batches a reused Python worker processes. ``shared=False`` gives an
+    isolated per-instance cache (tests)."""
 
     __slots__ = ("_cache",)
 
-    def __init__(self) -> None:
-        self._cache: dict[str, str] = {}
+    def __init__(self, shared: bool = True) -> None:
+        self._cache: dict[str, str] = _MEMO if shared else {}
 
     def __call__(self, token: str) -> str:
-        cached = self._cache.get(token)
+        cache = self._cache
+        cached = cache.get(token)
         if cached is None:
-            cached = stem(token)
-            self._cache[token] = cached
+            cached = _stem_impl(token)
+            if len(cache) < _MEMO_MAX:
+                cache[token] = cached
         return cached
+
+    def stem_unique(self, tokens) -> list[str]:
+        """Stem a sequence of (ideally unique) tokens — the vectorized
+        tokenizer's per-batch vocabulary pass."""
+        return [self(t) for t in tokens]

@@ -29,6 +29,26 @@ from .porter2 import CachedStemmer
 # reference tests/test_tokenize.py:10-11).
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+
+class _SepMap(dict):
+    """str.translate table: keep [a-z0-9], map EVERY other codepoint to a
+    space (``__missing__`` covers the whole unicode range without
+    enumerating it; ASCII stays a C-speed dict hit)."""
+
+    def __missing__(self, cp: int) -> str:  # rare non-ASCII chars only
+        return " "
+
+
+_SEP_MAP = _SepMap(
+    {cp: (chr(cp) if ("a" <= chr(cp) <= "z" or "0" <= chr(cp) <= "9") else " ")
+     for cp in range(128)})
+
+
+def _fast_tokens(lowered: str) -> list[str]:
+    """Exactly ``_TOKEN_RE.findall(lowered)`` (every non-[a-z0-9] codepoint
+    separates tokens), ~2x faster via C-side translate+split."""
+    return lowered.translate(_SEP_MAP).split()
+
 STEMMERS = ("porter2", "none")
 
 # The reference also enumerates 'krovetz' (``__init__.py:45``, wired to the
@@ -57,7 +77,7 @@ def tokenize_text(text: str, stemmer: str = "porter2") -> list[str]:
     ``__init__.py:546-555``). Used for query parsing and tests."""
     if text is None:
         return []
-    toks = _TOKEN_RE.findall(text.lower())
+    toks = _fast_tokens(text.lower())
     if stemmer == "porter2":
         st = CachedStemmer()
         toks = [st(t) for t in toks]
@@ -72,7 +92,7 @@ def tokenize_udf(stemmer: str = "porter2"):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _tokenize(content: pd.Series) -> pd.Series:
         st = CachedStemmer()
-        findall = _TOKEN_RE.findall
+        findall = _fast_tokens
         if use_stem:
             return content.map(
                 lambda x: [st(t) for t in findall(x.lower())] if x is not None else []
@@ -105,25 +125,48 @@ def termvec_udf(stemmer: str = "porter2"):
 
     @F.pandas_udf(_TERMVEC_SCHEMA)
     def _termvec(content: pd.Series) -> pd.DataFrame:
+        # Batch-vectorized: the only per-TOKEN work is C-side (translate+split,
+        # pandas hash factorize, numpy unique/sort). Python-level loops run
+        # per DOC (regex calls, output slicing) and per batch-UNIQUE token
+        # (stemming, memoized process-wide) — by Zipf's law both are orders
+        # of magnitude smaller than the token count.
+        import itertools
+
+        import numpy as np
+
         st = CachedStemmer()
-        findall = _TOKEN_RE.findall
-        terms_out: list[list[str]] = []
-        tfs_out: list[list[int]] = []
-        lens_out: list[int] = []
-        for x in content:
-            if x is None:
-                terms_out.append([])
-                tfs_out.append([])
-                lens_out.append(0)
-                continue
-            toks = findall(x.lower())
-            if use_stem:
-                toks = [st(t) for t in toks]
-            counts = Counter(toks)
-            terms_out.append(list(counts.keys()))
-            tfs_out.append(list(counts.values()))
-            lens_out.append(len(toks))
-        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "doclen": lens_out})
+        findall = _fast_tokens
+        n = len(content)
+        tok_lists = [findall(x.lower()) if isinstance(x, str) else []
+                     for x in content]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            empty: list = [[] for _ in range(n)]
+            return pd.DataFrame({"terms": empty, "tfs": [list(e) for e in empty],
+                                 "doclen": lens})
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists),
+                           dtype=object, count=total)
+        codes, uniques = pd.factorize(flat, sort=False)
+        if use_stem:
+            # stem ONLY the batch-unique vocabulary, then re-factorize (two
+            # raw tokens may share a stem and must merge their counts)
+            stems = np.asarray(st.stem_unique(uniques), dtype=object)
+            stem_code_of_unique, vocab = pd.factorize(stems, sort=False)
+            term_codes = stem_code_of_unique[codes]
+        else:
+            term_codes, vocab = codes, np.asarray(uniques, dtype=object)
+        nv = len(vocab)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # (doc, term) count via one C-side sort over composite keys
+        key = doc_idx * nv + term_codes
+        uk, tfs = np.unique(key, return_counts=True)
+        out_doc = uk // nv
+        term_objs = vocab[uk % nv]
+        bounds = np.searchsorted(out_doc, np.arange(n + 1, dtype=np.int64))
+        terms_out = [term_objs[a:b].tolist() for a, b in zip(bounds[:-1], bounds[1:])]
+        tfs_out = [tfs[a:b].tolist() for a, b in zip(bounds[:-1], bounds[1:])]
+        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "doclen": lens})
 
     return _termvec
 
@@ -131,21 +174,78 @@ def termvec_udf(stemmer: str = "porter2"):
 _DICTTOKS_SCHEMA = T.MapType(T.StringType(), T.DoubleType())
 
 
-def dict_tokenizer_udf():
+def dict_tokenizer_udf(stemmer=None):
     """Reference ``DictTokeniser`` (``__init__.py:558-567``): lowercase word
     tokens kept if ``isalnum()``, counted into a ``map<string,double>`` bag.
     We use the same alnum-token semantics via regex (the reference uses nltk
     ``word_tokenize`` then filters ``isalnum()``; for space/punct-separated
-    text the surviving tokens coincide)."""
+    text the surviving tokens coincide). ``stemmer`` mirrors the reference's
+    per-token callable (identity when None); the string names
+    'porter2'/'none' select the built-in stemmers."""
+    if isinstance(stemmer, str):
+        _check_stemmer(stemmer)
+    stem_name = stemmer if isinstance(stemmer, str) else None
 
     @F.pandas_udf(_DICTTOKS_SCHEMA)
     def _dicttoks(content: pd.Series) -> pd.Series:
-        findall = _TOKEN_RE.findall
+        findall = _fast_tokens
+        if stem_name == "porter2":
+            sfn = CachedStemmer()
+        elif callable(stemmer):
+            sfn = stemmer
+        else:
+            sfn = None
+        if sfn is None:
+            return content.map(
+                lambda x: dict(Counter(findall(x.lower()))) if x is not None else {}
+            )
         return content.map(
-            lambda x: dict(Counter(findall(x.lower()))) if x is not None else {}
+            lambda x: dict(Counter(sfn(t) for t in findall(x.lower())))
+            if x is not None else {}
         )
 
     return _dicttoks
+
+
+class DictTokeniser:
+    """Transformer-class parity with the reference's ``DictTokeniser``
+    (``__init__.py:558-567``, a ``pt.Transformer``): ``transform(df)`` adds a
+    ``{field}_toks`` map<token,count> column. Accepts a Spark DataFrame
+    (Arrow-vectorized ``dict_tokenizer_udf``) or a pandas DataFrame (the
+    reference's own input type). ``stemmer`` may be a per-token callable
+    (reference signature) or a built-in stemmer name ('porter2'/'none')."""
+
+    def __init__(self, field: str = "text", stemmer=None):
+        self.field = field
+        self.stemmer = stemmer
+
+    def transform(self, inp):
+        from pyspark.sql import DataFrame as SparkDataFrame
+
+        if isinstance(inp, SparkDataFrame):
+            if self.field not in inp.columns:
+                raise ValueError(f"DictTokeniser: input lacks column {self.field!r}")
+            return inp.withColumn(
+                f"{self.field}_toks", dict_tokenizer_udf(self.stemmer)(F.col(self.field))
+            )
+        # pandas path (reference behavior)
+        if self.field not in inp.columns:
+            raise ValueError(f"DictTokeniser: input lacks column {self.field!r}")
+        if isinstance(self.stemmer, str):
+            _check_stemmer(self.stemmer)
+            sfn = CachedStemmer() if self.stemmer == "porter2" else (lambda t: t)
+        else:
+            sfn = self.stemmer or (lambda t: t)
+        findall = _fast_tokens
+        return inp.assign(**{
+            f"{self.field}_toks": inp[self.field].map(
+                lambda x: dict(Counter(sfn(t) for t in findall(x.lower()))))
+        })
+
+    __call__ = transform
+
+    def __repr__(self) -> str:
+        return f"DictTokeniser(field={self.field!r})"
 
 
 def tokenize_queries(

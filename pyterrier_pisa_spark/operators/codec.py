@@ -177,13 +177,18 @@ def bitpack_encode(values: np.ndarray) -> bytes:
 
 def bitpack_decode(buf: bytes | bytearray | memoryview,
                    count: int | None = None) -> np.ndarray:
+    # count is MANDATORY (unlike the self-delimiting varint / width-header
+    # bytepack): the last byte's pad bits are indistinguishable from packed
+    # values, so a count-less decode would return spurious trailing values
+    # (e.g. 3 values at width 3 "decode" as 5). The block header stores count.
+    if count is None:
+        raise ValueError("bitpack_decode: count is required (pad bits of the "
+                         "final byte are not self-delimiting)")
     b = memoryview(buf)
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
     w = b[0]
     if w == 0:
-        if count is None:
-            raise ValueError("bitpack_decode: width-0 stream needs an explicit count")
         return np.zeros(count, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(b[1:], dtype=np.uint8), bitorder="little")
     n = bits.size // w

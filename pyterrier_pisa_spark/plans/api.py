@@ -129,6 +129,13 @@ def _legacy_config(path: str) -> dict | None:
     return None
 
 
+# Query frames are tiny by the reference contract (it takes pandas); the
+# driver-side parse collects them. The cap catches a misrouted corpus-sized
+# frame BEFORE it lands on the driver: limit(cap+1).collect() never pulls
+# more than cap+1 rows, so the check itself cannot OOM.
+MAX_DRIVER_QUERIES = 200_000
+
+
 def _as_query_list(queries) -> tuple[bool, list]:
     """Accept [(qid, text)] / [(qid, {term: weight})], pandas DataFrame, or
     Spark DataFrame with (qid, query) or (qid, query_toks) — queries are tiny
@@ -136,11 +143,19 @@ def _as_query_list(queries) -> tuple[bool, list]:
     a ``query_toks`` column (dict term -> float weight, reference
     ``__init__.py:485-492``) selects the pretokenized path."""
     if isinstance(queries, DataFrame):
-        if "query_toks" in queries.columns:
-            return True, [(r["qid"], dict(r["query_toks"]))
-                          for r in queries.select("qid", "query_toks").collect()]
-        return False, [(r["qid"], r["query"])
-                       for r in queries.select("qid", "query").collect()]
+        cols = ["qid", "query_toks"] if "query_toks" in queries.columns \
+            else ["qid", "query"]
+        rows = queries.select(*cols).limit(MAX_DRIVER_QUERIES + 1).collect()
+        if len(rows) > MAX_DRIVER_QUERIES:
+            raise ValueError(
+                f"queries frame exceeds {MAX_DRIVER_QUERIES} rows — the "
+                "retriever parses queries driver-side (reference contract: "
+                "pandas-sized query sets). For corpus-sized query workloads "
+                "split into batches, or use query_algorithm='batch' "
+                "(operators.wand.retrieve_blockmax_batch) over chunks.")
+        if cols[1] == "query_toks":
+            return True, [(r["qid"], dict(r["query_toks"])) for r in rows]
+        return False, [(r["qid"], r["query"]) for r in rows]
     try:
         import pandas as pd
 
@@ -217,6 +232,19 @@ class SparkRetriever:
         return (f"SparkRetriever({self.index!r}, {self.scorer!r}, "
                 f"num_results={self.num_results}, "
                 f"query_algorithm={self.query_algorithm!r})")
+
+    @classmethod
+    def from_dataset(cls, spark: SparkSession, name: str, scorer="bm25",
+                     num_results: int = 1000, query_algorithm=None,
+                     stops=None, registry_dir: str | None = None,
+                     **scorer_params) -> "SparkRetriever":
+        """Retriever-level dataset convenience (reference
+        ``PisaRetrieve.from_dataset``, ``__init__.py:527-528``): load a
+        registered index by dataset name and return a ready retriever."""
+        idx = PisaSparkIndex.from_dataset(spark, name, registry_dir)
+        return cls(idx, _val(scorer) or "bm25", num_results,
+                   _val(query_algorithm) or PISA_INDEX_DEFAULTS["query_algorithm"],
+                   idx.stops if stops is None else _val(stops), **scorer_params)
 
     def transform(self, queries) -> DataFrame:
         pretok, qs = _as_query_list(queries)

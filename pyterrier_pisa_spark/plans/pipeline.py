@@ -89,7 +89,23 @@ def prepare_corpus(
     # reference pays too (``indexers.py:68-75``).
     ids = B.assign_dense_ids(corpus.select("docno"), ["docno"], "docid",
                              num_partitions).select("docno", "docid")
-    ndocs = ids.count()  # narrow count; also materializes the frozen ranges
+    # One agg job (rides the frozen assign_dense_ids cache): materializes the
+    # ranges AND hard-fails on duplicate docnos. A duplicate docno would make
+    # the equi-join below fan out n^2 rows per key and silently corrupt the
+    # index (inflated num_docs, repeated docids in postings/docmap) -- the
+    # uniqueness contract is enforced here, not assumed. countDistinct is a
+    # narrow-row shuffle with map-side combine over the already-range-
+    # partitioned (co-located) docnos, so the gate costs one small stage.
+    row = ids.agg(F.count("*").alias("n"),
+                  F.count_distinct("docno").alias("nd")).collect()[0]
+    ndocs, ndistinct = row["n"], row["nd"]
+    if ndocs != ndistinct:
+        raise ValueError(
+            f"prepare_corpus: corpus has {ndocs - ndistinct} duplicate docno "
+            "value(s); docnos must be unique. Deduplicate upstream (e.g. "
+            "operators.dedup.exact_dedup) or pass id_col for a trusted "
+            "pre-assigned dense docid."
+        )
     if ndocs <= 5_000_000:
         ids = F.broadcast(ids)
     return corpus.join(ids, "docno")

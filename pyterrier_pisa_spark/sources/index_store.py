@@ -210,13 +210,20 @@ def build_index(
                      "avg_doclen": (tot / nd) if nd else 0.0}
         else:
             stats = B.collection_stats(docmap)
-        # vocab size gate WITHOUT a probe job: vocab <= total docs * terms/doc,
-        # and a <=1M-doc corpus can't produce a vocab that breaks the one-task
-        # sort (worst case a few M strings). The small path then needs neither
-        # the probe count (no persist, one scan total) nor the validation pass
-        # (row_number construction is dense by definition) — both were pure
-        # serial seconds on the build's critical path.
-        small = stats["num_docs"] <= 1_000_000
+        # Vocab-size gate WITHOUT a probe job where it is PROVABLE: every
+        # lexicon row needs at least one tf row, so tf_rows (already observed
+        # by the phase-1 write) is a sound upper bound on vocab size. Below
+        # 2M the one-task sort is guaranteed safe and the small path skips
+        # both the probe count and the validation pass (row_number is dense
+        # by construction) — those were pure serial seconds on the build's
+        # critical path. Above the bound (or when tf_rows is unknown —
+        # streaming/CIFF ingest) the decision needs the OBSERVED vocab size:
+        # num_docs alone is NOT a sound proxy (identifier-heavy source-code
+        # corpora reach multi-M vocabularies at <=1M docs), so build_lexicon
+        # probes its persisted agg count and sizes the id-assignment path —
+        # and the range path's validate gate — off the real vocabulary.
+        tf_rows = int(tfm.get("tf_rows", -1))
+        small = 0 <= tf_rows <= 2_000_000
         lexicon = B.build_lexicon(tf, num_partitions,
                                   small_vocab=(True if small else None))
         from pyspark.sql import Observation
@@ -580,22 +587,24 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     blocks = index.blocks.join(stats_map, "term_id")
 
     def _quantize(batches):
+        # segment-batched like the retrieval kernels' _decode_rows: ONE
+        # decode pass + ONE partial/impact computation over the whole Arrow
+        # batch's postings, then one encode_segments split back into blocks
+        # (no per-block Python decode/encode calls)
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_tfs, out_bmax = [], np.empty(len(pdf), dtype=np.float64)
-            for i, (cnt, tb, lb, st) in enumerate(zip(
-                    pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
-                t = codec.decode(tb, int(cnt)).astype(np.float64)
-                dl = codec.decode(lb, int(cnt)).astype(np.float64)
-                p = partial(t, dl, float(st))
-                imp = np.maximum(1.0, np.ceil(p / gmax * levels)).astype(np.uint64)
-                out_tfs.append(codec.encode(imp))
-                out_bmax[i] = float(imp.max())
+            counts = pdf["count"].to_numpy(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            t = codec.decode_segments(list(pdf["tfs"]), counts).astype(np.float64)
+            dl = codec.decode_segments(list(pdf["doclens"]), counts).astype(np.float64)
+            st = np.repeat(pdf["stat"].to_numpy(np.float64), counts)
+            p = partial(t, dl, st)
+            imp = np.maximum(1.0, np.ceil(p / gmax * levels)).astype(np.uint64)
             res = pdf[["term_id", "block_id", "count", "docid_first", "docid_last",
                        "docids_delta", "doclens"]].copy()
-            res["tfs"] = out_tfs
-            res["block_max_score"] = out_bmax
+            res["tfs"] = codec.encode_segments(imp, starts)
+            res["block_max_score"] = np.maximum.reduceat(imp, starts).astype(np.float64)
             yield res[["term_id", "block_id", "count", "docid_first", "docid_last",
                        "block_max_score", "docids_delta", "tfs", "doclens"]]
 
@@ -612,6 +621,9 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     new_meta["scorer"] = {"name": "quantized"}
     new_meta["block_max_kind"] = "absolute"  # stored maxes ARE max impacts
     new_meta["table_refs"] = table_refs
+    new_meta["table_ref_fingerprints"] = {
+        sub: fp for sub, ref in table_refs.items()
+        if (fp := _meta_fingerprint(os.path.dirname(ref))) is not None}
     new_meta["quantized_from"] = {"scorer": scorer, "bits": bits, "k1": k1, "b": b,
                                   "mu": mu, "c": c, "global_max": gmax}
     with open(os.path.join(dst_path, "meta.json"), "w") as fh:
@@ -666,20 +678,20 @@ def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
     blocks = index.blocks.select("term_id", "count", "tfs", "doclens").join(stats_map, "term_id")
 
     def _block_minmax(batches):
+        # segment-batched: one decode + one vectorized partial over the whole
+        # Arrow batch, per-block extrema via ufunc.reduceat
         for pdf in batches:
             if not len(pdf):
                 continue
-            maxes = np.empty(len(pdf), dtype=np.float64)
-            mins = np.empty(len(pdf), dtype=np.float64)
-            for i, (cnt, tb, lb, st) in enumerate(zip(
-                    pdf["count"], pdf["tfs"], pdf["doclens"], pdf["stat"])):
-                t = codec.decode(tb, int(cnt)).astype(np.float64)
-                dl = codec.decode(lb, int(cnt)).astype(np.float64)
-                p = partial(t, dl, float(st))
-                maxes[i] = p.max()
-                mins[i] = p.min()
-            yield pd.DataFrame({"term_id": pdf["term_id"], "bmax": maxes,
-                                "bmin": mins})
+            counts = pdf["count"].to_numpy(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            t = codec.decode_segments(list(pdf["tfs"]), counts).astype(np.float64)
+            dl = codec.decode_segments(list(pdf["doclens"]), counts).astype(np.float64)
+            st = np.repeat(pdf["stat"].to_numpy(np.float64), counts)
+            p = partial(t, dl, st)
+            yield pd.DataFrame({"term_id": pdf["term_id"],
+                                "bmax": np.maximum.reduceat(p, starts),
+                                "bmin": np.minimum.reduceat(p, starts)})
 
     per_block = blocks.mapInPandas(_block_minmax,
                                    schema="term_id long, bmax double, bmin double")
@@ -705,18 +717,23 @@ class PersistedIndex:
         view (also backs the reference's ``get_corpus_iter``, S5)."""
         codec = get_codec(self.meta.get("encoding"))
 
+        from ..operators.codec import delta_decode_segments
+
         def _decode(batches):
+            # one segment-batched decode per Arrow batch (same technique as
+            # the retrieval kernels' _decode_rows), not a per-block loop
             for pdf in batches:
-                outs = []
-                for term_id, cnt, db, tb, lb in zip(
-                    pdf["term_id"], pdf["count"], pdf["docids_delta"], pdf["tfs"], pdf["doclens"]
-                ):
-                    d = np.cumsum(codec.decode(db, int(cnt)).astype(np.int64))
-                    t = codec.decode(tb, int(cnt)).astype(np.int64)
-                    dl = codec.decode(lb, int(cnt)).astype(np.int64)
-                    outs.append(pd.DataFrame({"term_id": term_id, "docid": d, "tf": t, "doclen": dl}))
-                yield pd.concat(outs) if outs else pd.DataFrame(
-                    {"term_id": [], "docid": [], "tf": [], "doclen": []})
+                if not len(pdf):
+                    yield pd.DataFrame({"term_id": [], "docid": [], "tf": [], "doclen": []})
+                    continue
+                counts = pdf["count"].to_numpy(np.int64)
+                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                gaps = codec.decode_segments(list(pdf["docids_delta"]), counts)
+                d = delta_decode_segments(gaps.astype(np.int64), starts)
+                t = codec.decode_segments(list(pdf["tfs"]), counts).astype(np.int64)
+                dl = codec.decode_segments(list(pdf["doclens"]), counts).astype(np.int64)
+                tid = np.repeat(pdf["term_id"].to_numpy(np.int64), counts)
+                yield pd.DataFrame({"term_id": tid, "docid": d, "tf": t, "doclen": dl})
 
         return self.blocks.select("term_id", "count", "docids_delta", "tfs", "doclens").mapInPandas(
             _decode, schema="term_id long, docid long, tf long, doclen long"
@@ -738,6 +755,39 @@ class PersistedIndex:
         )
         return LogicalIndex(lexicon=self.lexicon, tf=tf, docmap=self.docmap,
                             stats=self.stats, blocks=self.blocks, meta=self.meta)
+
+
+def _meta_fingerprint(index_path: str) -> str | None:
+    """sha256 of an index's meta.json bytes — the identity of the index
+    contents for table-reference lifetime checks (a rebuild rewrites meta)."""
+    mp = os.path.join(index_path, "meta.json")
+    if not os.path.exists(mp):
+        return None
+    import hashlib
+
+    with open(mp, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+def _verify_table_refs(path: str, meta: dict) -> None:
+    """Derived indexes (quantize_index) reference the source index's tables
+    instead of copying them; that couples their lifetimes. Verify the stored
+    source-meta fingerprint so a moved / rebuilt / deleted source fails LOUDLY
+    at load time instead of silently stale-reading."""
+    fps = meta.get("table_ref_fingerprints") or {}
+    for sub, ref in (meta.get("table_refs") or {}).items():
+        if os.path.exists(os.path.join(path, sub)):
+            continue  # local copy wins; the reference is not used
+        want = fps.get(sub)
+        if want is None:
+            continue  # pre-fingerprint derived index (r3) — best-effort load
+        got = _meta_fingerprint(os.path.dirname(ref))
+        if got != want:
+            raise ValueError(
+                f"derived index at {path}: referenced table {sub!r} -> {ref} "
+                f"{'no longer exists' if got is None else 'was rebuilt or replaced'} "
+                "since this index was created (source meta.json fingerprint "
+                "mismatch); re-run quantize_index against the current source")
 
 
 def _table_path(path: str, meta: dict, name: str) -> str | None:
@@ -810,6 +860,7 @@ def load_index(spark: SparkSession, path: str,
     from pyspark import StorageLevel
 
     meta = json.load(open(os.path.join(path, "meta.json")))
+    _verify_table_refs(path, meta)
     lexicon = spark.read.parquet(_table_path(path, meta, "lexicon"))
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     lexicon = lexicon.join(term_stats, "term_id", "left").fillna({"max_score": 0.0})

@@ -127,3 +127,28 @@ def test_sharded_matches_unsharded(spark, tmp_path_factory, scorer, mode):
     a = single.search(QUERIES, k=30).sort_values(["qid", "rank"], ignore_index=True)
     b = fleet.search(QUERIES, k=30).sort_values(["qid", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+def test_quantized_int_fast_path_identical(spark, serve_idx, tmp_path_factory):
+    """The int32 accumulate on quantized indexes must engage AND remain
+    rank+score-identical to the Spark quantized kernel (integer sums are
+    exact in both representations)."""
+    from pyterrier_pisa_spark.sources.index_store import quantize_index
+
+    dst = str(tmp_path_factory.mktemp("serveq") / "qidx")
+    quantize_index(serve_idx, dst, scorer="bm25", bits=8)
+    qidx = load_index(spark, dst)
+    ls = LocalSearcher(qidx, scorer="quantized")
+    assert ls._acc_i is not None and ls._post_pi is not None  # int path armed
+    local = ls.search(QUERIES, k=25)
+    ref = retrieve_blockmax(qidx, QUERIES, k=25, scorer="quantized",
+                            include_query=False)
+    _cmp(ref, local)
+    assert (local["score"] % 1 == 0).all()  # integer impacts summed exactly
+
+    # non-integer query weights must fall back to the float64 path and still
+    # match the Spark kernel (toks weights truncate to int BEFORE scoring, so
+    # exercise via a fractional qw injected through search_toks scale)
+    frac = ls.search_toks([("f1", {"index": 1.0})], k=5, toks_scale=2.5)
+    ref2 = retrieve_blockmax(qidx, None, k=5, scorer="quantized",
+                             queries_toks=[("f1", {"index": 1.0})], toks_scale=2.5)
+    _cmp(ref2, frac)
