@@ -52,19 +52,32 @@ _BLOCK_COLS = ["term_id", "block_id", "count", "docid_first", "docid_last",
                "block_max_score", "docids_delta", "tfs", "doclens"]
 
 
-def _topk_exact(qid: str, docids: np.ndarray, scores: np.ndarray,
-                k: int) -> pd.DataFrame:
+def _topk_select(docids: np.ndarray, scores: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
     """Exact (float32(score) DESC, docid ASC) top-k without a full lexsort:
-    argpartition on the float32 scores bounds the candidate set (keeping ALL
-    boundary ties), then the small subset lexsorts. Identical output to
-    ``_topk_frame``."""
+    partition on the ranking key bounds the candidate set (keeping ALL
+    boundary ties), then the small subset lexsorts. Identical ordering to
+    the kernels' ``_topk_frame``. Integer score arrays (the quantized int
+    fast path) rank directly — the caller guarantees values < 2^24, where
+    float32 represents every integer exactly, so integer order IS the
+    engine-wide float32-granularity order.
+
+    Candidates MUST arrive in ascending docid order (the dense engine's
+    ``flatnonzero`` and the TAAT merge both guarantee it) — boundary ties
+    then resolve by taking the FIRST ``k - above`` tied positions (smallest
+    docids), so the final lexsort runs over exactly k rows, never over the
+    (potentially huge — coarse integer scores) tie group."""
+    key = scores if scores.dtype.kind in "iu" else scores.astype(np.float32)
     n = docids.size
     if n > k:
-        sc32 = scores.astype(np.float32)
-        thresh = np.partition(sc32, n - k)[n - k]
-        keep = sc32 >= thresh  # >= keeps boundary ties for the docid break
-        docids, scores = docids[keep], scores[keep]
-    return _topk_frame(qid, docids, scores, k)
+        thresh = np.partition(key, n - k)[n - k]
+        above = np.flatnonzero(key > thresh)  # all of these are in the top-k
+        tied = np.flatnonzero(key == thresh)[: k - above.size]
+        sel = np.sort(np.concatenate((above, tied)))
+        docids, scores, key = docids[sel], scores[sel], key[sel]
+    kk = min(k, docids.size)
+    order = np.lexsort((docids, -key))[:kk]
+    return docids[order], scores[order]
 
 
 class ShardedLocalSearcher:
@@ -276,9 +289,9 @@ class LocalSearcher:
         int32 (exact: integer sums, no rounding — identical to the kernels'
         float64 integer arithmetic) when the per-query upper bound
         ``sum(qw * term_max_impact)`` provably fits."""
-        use_int = self._acc_i is not None and all(
-            qw == int(qw) for (_t, qw, *_r) in terms) and sum(
-            qw * ms for (_t, qw, _s, ms, *_r) in terms) < float(2**31 - 1)
+        bound = sum(qw * ms for (_t, qw, _s, ms, *_r) in terms)
+        use_int = self._acc_i is not None and bound < float(2**31 - 1) and all(
+            qw == int(qw) for (_t, qw, *_r) in terms)
         if use_int:
             acc, posts = self._acc_i, self._post_pi
         else:
@@ -305,7 +318,12 @@ class LocalSearcher:
         # the concatenated per-term docids — hot 3-term queries touch ~3x the
         # matched docs, and the O(n log n) unique dominated per-query latency
         cand = np.flatnonzero(mask)
-        sc = acc[cand].astype(np.float64) if use_int else acc[cand]
+        # int32 scores stay native when they provably fit float32's exact-
+        # integer range (< 2^24): _topk_select then ranks on the integers,
+        # which IS the float32-granularity order. Bigger bounds convert.
+        sc = acc[cand]
+        if use_int and bound >= float(1 << 24):
+            sc = sc.astype(np.float64)
         acc[cand] = 0
         mask[cand] = False
         if conjunctive:
@@ -328,7 +346,11 @@ class LocalSearcher:
 
     def _run(self, qinfo: dict, k: int, conjunctive: bool,
              cast_float32: bool) -> pd.DataFrame:
-        frames = []
+        # numpy end-to-end: per-query (docid, score) selections concatenate
+        # into ONE pandas frame at the end — frame construction was a
+        # measurable slice of per-query latency at the reference's serving
+        # regime, so it is paid once per call, not once per query
+        parts: list[tuple[str, np.ndarray, np.ndarray]] = []
         for qid, terms in qinfo.items():
             terms.sort(key=lambda t: -t[3])
             if self.mode == "dense":
@@ -336,19 +358,25 @@ class LocalSearcher:
             else:
                 acc_d, acc_s = self._query_blockmax(terms, k, conjunctive)
             if acc_d is not None and acc_d.size:
-                frames.append(_topk_exact(qid, acc_d, acc_s, k))
-        if not frames:
+                parts.append((qid, *_topk_select(acc_d, acc_s, k)))
+        sdtype = np.float32 if cast_float32 else np.float64
+        if not parts:
             return pd.DataFrame({"qid": pd.Series(dtype=object),
                                  "docid": pd.Series(dtype=np.int64),
                                  "docno": pd.Series(dtype=object),
-                                 "score": pd.Series(dtype=(np.float32 if cast_float32
-                                                           else np.float64)),
+                                 "score": pd.Series(dtype=sdtype),
                                  "rank": pd.Series(dtype=np.int32)})
-        out = pd.concat(frames, ignore_index=True)
-        out["docno"] = self._docnos[out["docid"].to_numpy(np.int64)]
-        if cast_float32:
-            out["score"] = out["score"].astype(np.float32)
-        return out[["qid", "docid", "docno", "score", "rank"]]
+        lens = [d.size for _q, d, _s in parts]
+        docid = np.concatenate([d for _q, d, _s in parts])
+        score = np.concatenate([s.astype(np.float64) for _q, _d, s in parts])
+        return pd.DataFrame({
+            "qid": np.repeat(np.array([q for q, _d, _s in parts], dtype=object),
+                             lens),
+            "docid": docid,
+            "docno": self._docnos[docid],
+            "score": score.astype(sdtype) if cast_float32 else score,
+            "rank": np.concatenate([np.arange(n, dtype=np.int32) for n in lens]),
+        }, copy=False)
 
     # ------------------------------------------------------------------- API
 
