@@ -47,6 +47,43 @@ def release_caches() -> None:
 DEFAULT_B = 0.4
 DEFAULT_BLOCK_SIZE = 128
 
+# vocabularies at or below this ride to the driver / one task for dense-id
+# assignment (dense BY CONSTRUCTION — no validation pass needed); larger ones
+# take the distributed range-partitioned path
+SMALL_VOCAB_MAX = 1 << 20
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def eager_limits(spark):
+    """Make CollectLimit scan all partitions in its FIRST job for the scope.
+
+    The build's bounded driver collects (``limit(cap+1).toPandas()``) never
+    reach their cap on legitimate inputs, so Spark's incremental limit
+    execution (1, then 4x, ... partitions) degenerates into 3-4 extra
+    scheduled jobs of pure serial constants — measurable against build
+    scaling efficiency. One full-width job is strictly better here: the
+    data volume is the same (shuffle/stage outputs are reused across the
+    incremental jobs anyway); only the scheduling round-trips differ."""
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(1 << 30))
+    try:
+        yield
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, old)
+
 
 def with_docno(df: DataFrame) -> DataFrame:
     """Synthesize the external document key for the source-code corpus shape
@@ -174,34 +211,48 @@ def build_lexicon(tf: DataFrame, num_partitions: int | None = None,
     (map-side combine) shuffle of one small row per distinct (partition, term)
     — Zipf skew on raw postings does NOT hit this stage.
 
-    SIZE-GATED id assignment: a small vocab (<=1M terms) sorts in ONE task —
-    the range-partitioned machinery (sampling job + frozen cache + offsets
-    broadcast + many tiny output files) is pure constant overhead at this
-    size and eats straight into build scaling efficiency; real web-scale
-    vocabularies take the scalable range path. ``small_vocab=True`` lets the
-    caller assert the gate WITHOUT the probe count job (one fewer full scan:
-    dense ids are then guaranteed by row_number construction, so the caller
-    may also skip its validation pass); None probes with a persisted count."""
+    SIZE-GATED id assignment: a small vocab (<= SMALL_VOCAB_MAX terms) is
+    dense-ranked WITHOUT the range-partitioned machinery (sampling job +
+    frozen cache + offsets broadcast + many tiny output files — pure
+    constant overhead at this size, straight out of build scaling
+    efficiency); real web-scale vocabularies take the scalable range path.
+    ``small_vocab=True`` lets the caller assert the gate WITHOUT any probe
+    (single-task sort, ids dense by row_number construction). ``None``
+    probes with ONE bounded job: the vocab-sized agg rides Arrow to the
+    driver (``limit(cap+1)``, so the probe itself cannot OOM), sorts there
+    (UTF-8 order == Python str order), and comes back as a one-partition
+    frame — above the cap the agg persists and takes the range path.
+
+    Dense-id guarantee: every path except the range one constructs
+    0..n-1 ids by definition; the range path's caller should run
+    ``validate_dense_ids`` (see ``index_store``)."""
     agg = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
     )
     if small_vocab is None:
-        # persist the VOCAB-SIZED agg before sizing: the range partitioner's
-        # sampling job would otherwise re-execute the full tf-scan + groupBy
-        # a second time (the agg is tiny by definition)
+        import numpy as np
+
+        cap = SMALL_VOCAB_MAX
+        with eager_limits(tf.sparkSession):
+            pdf = agg.limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
+            pdf = pdf.sort_values("term", ignore_index=True)
+            pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
+            return tf.sparkSession.createDataFrame(
+                pdf, schema="term string, df long, cf long, term_id long"
+            ).coalesce(1)
+        # identifier-heavy corpus above the cap: persist the full agg so the
+        # range partitioner's sampling job doesn't re-execute the tf scan
         agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(agg)
-        n = agg.count()  # materializes the cache; sizes the id-assignment path
-        small_vocab = n <= (1 << 20)
-    else:
-        n = None
-    if small_vocab:
+        n = agg.count()
+    elif small_vocab:
         from pyspark.sql import Window
 
         w = Window.orderBy("term")
         return agg.coalesce(1).withColumn(
             "term_id", (F.row_number().over(w) - 1).cast("long"))
-    if n is None:  # caller-asserted large vocab: persist for the range path
+    else:  # caller-asserted large vocab: persist for the range path
         agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(agg)
         n = agg.count()

@@ -129,21 +129,73 @@ def sample_frames(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
     )
 
 
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a RIFF/WAVE payload with the stdlib ``wave`` module:
+    returns (mono float64 samples in [-1, 1], sample_rate). PCM 8/16/32-bit;
+    multi-channel is averaged to mono. No third-party codec needed."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b)) as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        sig = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        sig = (sig - 128.0) / 128.0
+    elif width == 2:
+        sig = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        sig = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        sig = sig[: (sig.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return sig, rate
+
+
 def audio_features(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
-                   n_coeffs: int = 8, decoder: str = "fake") -> DataFrame:
+                   n_coeffs: int = 8, decoder: str = "fake",
+                   window: int = 512) -> DataFrame:
+    """binary -> (duration_s, n_windows, coeffs). ``decoder='real'`` GENUINELY
+    decodes RIFF/WAVE payloads (stdlib ``wave`` + numpy — no codec lib
+    required): duration from the header, Hann-windowed rFFT magnitude
+    spectrum averaged over windows, first ``n_coeffs`` log-magnitude bins as
+    the feature vector. Compressed formats (mp3/ogg/...) still raise until a
+    codec lib is installed; the fake path stays the deterministic
+    schema-identical twin used by the oracle tests."""
+
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(window) / window)
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("install soundfile for real audio decode")
             rows = {"id": [], "duration_s": [], "n_windows": [], "coeffs": []}
             for id_, payload in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(payload)
-                dur = round(len(b) / 16000.0, 4)
-                sig = np.frombuffer(hashlib.sha256(b).digest(), dtype=np.uint8).astype(np.float64)
+                if decoder == "real":
+                    if not b.startswith(b"RIFF"):
+                        raise NotImplementedError(
+                            "real audio decode supports WAV (RIFF) payloads "
+                            "only in this environment; install soundfile/av "
+                            "for compressed formats")
+                    sig, rate = _decode_wav(b)
+                    dur = round(sig.size / float(rate), 4)
+                    nw = max(1, sig.size // window)
+                    frames = sig[: nw * window].reshape(nw, window) * hann
+                    mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                    co = np.log1p(mag[:n_coeffs]).astype(np.float32)
+                    if co.size < n_coeffs:
+                        co = np.pad(co, (0, n_coeffs - co.size))
+                else:
+                    dur = round(len(b) / 16000.0, 4)
+                    sig8 = np.frombuffer(hashlib.sha256(b).digest(),
+                                         dtype=np.uint8).astype(np.float64)
+                    nw = max(1, len(b) // window)
+                    co = np.resize(sig8, n_coeffs).astype(np.float32)
                 rows["id"].append(id_)
                 rows["duration_s"].append(dur)
-                rows["n_windows"].append(max(1, len(b) // 512))
-                rows["coeffs"].append(np.resize(sig, n_coeffs).astype(np.float32))
+                rows["n_windows"].append(nw)
+                rows["coeffs"].append(co)
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(

@@ -18,6 +18,11 @@ from ..functions.stopwords import DEFAULT_STOPWORDS
 from ..operators import build as B
 from ..operators import retrieve as R
 
+# corpora at or below this many docnos assign dense docids driver-side (one
+# bounded Arrow collect of the docno projection, ~80 MB of strings at the
+# cap); larger corpora take the distributed range-partitioned assignment
+DRIVER_IDS_MAX = 1_000_000
+
 
 @dataclass
 class LogicalIndex:
@@ -87,25 +92,39 @@ def prepare_corpus(
     # to a shuffle join — still docno-only on the build side; the corpus side
     # shuffles once, which at that scale is the ingestion-order cost the
     # reference pays too (``indexers.py:68-75``).
+    # Corpora up to DRIVER_IDS_MAX docnos assign ids DRIVER-SIDE: the narrow
+    # docno projection rides Arrow to the driver in one bounded job (no
+    # shuffle, no range-sampling pass), sorts there (UTF-8 order == Python
+    # str order), and broadcasts back — duplicate detection is then a free
+    # exact check. Larger corpora take the distributed range path with a
+    # count/countDistinct gate. Either way duplicate docnos HARD-FAIL: a
+    # duplicate would make the equi-join below fan out n^2 rows per key and
+    # silently corrupt the index (inflated num_docs, repeated docids).
+    dup_msg = ("prepare_corpus: corpus has {n} duplicate docno value(s); "
+               "docnos must be unique. Deduplicate upstream (e.g. "
+               "operators.dedup.exact_dedup) or pass id_col for a trusted "
+               "pre-assigned dense docid.")
+    spark = corpus.sparkSession
+    with B.eager_limits(spark):
+        pdf = corpus.select("docno").limit(DRIVER_IDS_MAX + 1).toPandas()
+    if len(pdf) <= DRIVER_IDS_MAX:
+        ndup = int(pdf["docno"].duplicated().sum())
+        if ndup:
+            raise ValueError(dup_msg.format(n=ndup))
+        import numpy as np
+
+        pdf = pdf.sort_values("docno", ignore_index=True)
+        pdf["docid"] = np.arange(len(pdf), dtype=np.int64)
+        ids = F.broadcast(
+            spark.createDataFrame(pdf, schema="docno string, docid long"))
+        return corpus.join(ids, "docno")
     ids = B.assign_dense_ids(corpus.select("docno"), ["docno"], "docid",
                              num_partitions).select("docno", "docid")
-    # One agg job (rides the frozen assign_dense_ids cache): materializes the
-    # ranges AND hard-fails on duplicate docnos. A duplicate docno would make
-    # the equi-join below fan out n^2 rows per key and silently corrupt the
-    # index (inflated num_docs, repeated docids in postings/docmap) -- the
-    # uniqueness contract is enforced here, not assumed. countDistinct is a
-    # narrow-row shuffle with map-side combine over the already-range-
-    # partitioned (co-located) docnos, so the gate costs one small stage.
     row = ids.agg(F.count("*").alias("n"),
                   F.count_distinct("docno").alias("nd")).collect()[0]
     ndocs, ndistinct = row["n"], row["nd"]
     if ndocs != ndistinct:
-        raise ValueError(
-            f"prepare_corpus: corpus has {ndocs - ndistinct} duplicate docno "
-            "value(s); docnos must be unique. Deduplicate upstream (e.g. "
-            "operators.dedup.exact_dedup) or pass id_col for a trusted "
-            "pre-assigned dense docid."
-        )
+        raise ValueError(dup_msg.format(n=ndocs - ndistinct))
     if ndocs <= 5_000_000:
         ids = F.broadcast(ids)
     return corpus.join(ids, "docno")

@@ -169,11 +169,18 @@ def build_index(
         agg = obs.get
         fwd_r = spark.read.parquet(os.path.join(path, "fwd"))
         ndocs, nposts = agg["ndocs"], int(agg["nterms"] or 0)
-        # the hard gate on docid assignment (dense when we assigned, unique
-        # when the caller supplied an id column): one column-pruned agg
-        nd = fwd_r.agg(F.countDistinct("docid").alias("nd")).collect()[0]["nd"]
-        dense_ok = nd == ndocs and (id_col is not None or
-                                    (agg["mn"] == 0 and agg["mx"] == ndocs - 1))
+        # Hard gate on docid assignment. When WE assigned the ids
+        # (id_col None), prepare_corpus already proved docno uniqueness and
+        # assign_dense_ids emits exactly 0..n-1, so the Observation's
+        # min/max/count riding the write suffice — the countDistinct job
+        # here was a full extra fwd scan of pure serial build time. A
+        # CALLER-supplied id column is unproven: it gets the distinct check.
+        if id_col is not None:
+            nd = fwd_r.agg(F.countDistinct("docid").alias("nd")).collect()[0]["nd"]
+            dense_ok = nd == ndocs
+        else:
+            nd = ndocs
+            dense_ok = ndocs == 0 or (agg["mn"] == 0 and agg["mx"] == ndocs - 1)
         if ndocs and not dense_ok:
             raise AssertionError(
                 f"docid assignment corrupted: n={ndocs} distinct={nd} "
@@ -210,34 +217,53 @@ def build_index(
                      "avg_doclen": (tot / nd) if nd else 0.0}
         else:
             stats = B.collection_stats(docmap)
-        # Vocab-size gate WITHOUT a probe job where it is PROVABLE: every
-        # lexicon row needs at least one tf row, so tf_rows (already observed
-        # by the phase-1 write) is a sound upper bound on vocab size. Below
-        # 2M the one-task sort is guaranteed safe and the small path skips
-        # both the probe count and the validation pass (row_number is dense
-        # by construction) — those were pure serial seconds on the build's
-        # critical path. Above the bound (or when tf_rows is unknown —
-        # streaming/CIFF ingest) the decision needs the OBSERVED vocab size:
-        # num_docs alone is NOT a sound proxy (identifier-heavy source-code
-        # corpora reach multi-M vocabularies at <=1M docs), so build_lexicon
-        # probes its persisted agg count and sizes the id-assignment path —
-        # and the range path's validate gate — off the real vocabulary.
-        tf_rows = int(tfm.get("tf_rows", -1))
-        small = 0 <= tf_rows <= 2_000_000
-        lexicon = B.build_lexicon(tf, num_partitions,
-                                  small_vocab=(True if small else None))
-        from pyspark.sql import Observation
+        # The vocab-sized agg rides Arrow to the driver in ONE bounded job
+        # (``limit(cap+1)`` — the probe itself cannot OOM on an
+        # identifier-heavy corpus; num_docs alone is NOT a sound vocab
+        # proxy) and, when it fits, the lexicon is sorted and written
+        # DRIVER-SIDE with pyarrow: same single scan the old write job
+        # paid, but zero additional Spark jobs, dense term_ids by
+        # construction, exact count for free — lexicon-phase constants were
+        # eating straight into build scaling efficiency. Vocabularies above
+        # the cap take the distributed range-partitioned path + the
+        # validate_dense_ids corruption gate (only that path's
+        # sampling/cache machinery can mis-assign).
+        agg = tf.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        # NOT persisted on the common path: the cap-overflow fallback below
+        # re-scans once (rare — identifier-heavy multi-M vocab), while a
+        # persist here would add cache-materialization overhead to every
+        # normal build's critical path
+        with B.eager_limits(spark):
+            pdf = agg.limit(B.SMALL_VOCAB_MAX + 1).toPandas()
+        ldir = os.path.join(path, "lexicon")
+        if len(pdf) <= B.SMALL_VOCAB_MAX:
+            import shutil
 
-        lobs = Observation("lexicon_stats")
-        lexicon = lexicon.observe(lobs, F.count(F.lit(1)).alias("nterms"))
-        lexicon.write.mode("overwrite").parquet(os.path.join(path, "lexicon"))
-        lex_r = spark.read.parquet(os.path.join(path, "lexicon"))
-        if small:
-            stats["num_terms"] = int(lobs.get["nterms"] or 0)
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            pdf = pdf.sort_values("term", ignore_index=True)
+            pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
+            shutil.rmtree(ldir, ignore_errors=True)
+            os.makedirs(ldir, exist_ok=True)
+            papq.write_table(
+                pa.Table.from_pandas(pdf, schema=pa.schema(
+                    [("term", pa.string()), ("df", pa.int64()),
+                     ("cf", pa.int64()), ("term_id", pa.int64())]),
+                    preserve_index=False),
+                os.path.join(ldir, "part-00000.parquet"))
+            stats["num_terms"] = len(pdf)
         else:
-            # range-assigned ids get the hard corruption gate (the agg doubles
-            # as the term count — one job, not two)
-            stats["num_terms"] = B.validate_dense_ids(lex_r, "term_id")
+            agg = agg.persist()  # freeze for the range sampler + count
+            n = agg.count()
+            lexicon = B.assign_dense_ids(agg, ["term"], "term_id",
+                                         num_partitions)
+            lexicon = lexicon.coalesce(max(1, n // (2 << 20) + 1))
+            lexicon.write.mode("overwrite").parquet(ldir)
+            stats["num_terms"] = B.validate_dense_ids(
+                spark.read.parquet(ldir), "term_id")
+            agg.unpersist()
         _append_metrics(spark, path, "lexicon",
                         [("lexicon", -1, stats["num_docs"], stats["num_terms"], 0, time.time())])
         _commit_phase(path, "lexicon", {"stats": stats, "sec": time.time() - t1})
@@ -382,17 +408,23 @@ def _fwd_to_tf(fwd: DataFrame) -> DataFrame:
 
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
                     num_partitions, encoding="varint") -> dict:
-    """The invert: ONE posting-granularity shuffle, then streaming vectorized
+    """The invert: ONE map-side-combined aggregation shuffle, then vectorized
     block packing — with CHUNK-LOCAL blocks.
 
     Plan:
       tf ⋈ lexicon(term->term_id,df)            [broadcast/AQE join]
-      repartition(term_id, chunk)               [THE shuffle; chunk =
-        .sortWithinPartitions(.., docid)         docid//chunk_span is a
+      groupBy(term_id, chunk)                   [THE shuffle; partial
+        .agg(sort_array(collect_list(...)))      collect_list collapses each
+                                                 map partition's postings into
+                                                 array rows BEFORE the
+                                                 exchange; chunk =
+                                                 docid//chunk_span is a
                                                  deterministic salt -> Zipf-hot
-                                                 terms spread across reducers]
-      mapInPandas streaming kernel              [contiguous (term_id, chunk)
-                                                 groups -> 128-posting blocks]
+                                                 terms spread across reducers;
+                                                 groups bounded by chunk_span]
+      mapInPandas kernel                        [self-contained (term_id,
+                                                 chunk, arrays) rows ->
+                                                 128-posting blocks]
 
     Blocks never span a chunk boundary (the last block of a term's chunk may
     hold < block_size postings). That costs a few ragged blocks per hot term
@@ -422,20 +454,41 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
     np_ = num_partitions or shuffle_parts(spark)
     blocks_per_chunk = chunk_span // block_size + 1
 
-    # the shuffled posting row is as NARROW as possible — (term_id, docid,
-    # tf:int, doclen:int), ~24 bytes: df is NOT carried per posting (the
-    # stored block max is the df-independent "rest" factor, idf is applied
-    # at query time from the lexicon the kernels join anyway) and chunk is
-    # recomputed from docid after the exchange. At 10^12 postings this
-    # roughly halves the bytes through the build's only big shuffle.
-    chunk_expr = (F.col("docid") / F.lit(chunk_span)).cast("long")
+    # The invert shuffle is a MAP-SIDE-COMBINED aggregation into bounded
+    # per-(term_id, chunk) posting ARRAYS, not a posting-per-row exchange:
+    #   - the row is as narrow as possible first — (term_id, docid, tfdl)
+    #     where tfdl packs tf<<32|doclen into ONE long; df is NOT carried
+    #     (the stored block max is the df-independent "rest" factor, idf is
+    #     applied at query time from the lexicon the kernels join anyway)
+    #   - collect_list's partial aggregation collapses each map partition's
+    #     postings into one array row per (term_id, chunk) BEFORE the
+    #     exchange — an order of magnitude fewer shuffle rows carrying the
+    #     same posting bytes, and the per-ROW costs of the exchange, of
+    #     Arrow, and of the old partition-wide Tungsten sort were the
+    #     dominant JVM-side build costs
+    #   - groups are BOUNDED by construction: a term has at most chunk_span
+    #     postings inside one chunk, so the aggregation buffers and the
+    #     per-group sort_array stay O(chunk_span) at ANY corpus scale —
+    #     Zipf-hot terms spread across chunks exactly as before
+    #   - sort_array orders each group by docid (struct field order; docids
+    #     are unique within a group), replacing the global sort with many
+    #     tiny C-side ones
+    chunk_expr = (F.col("docid") / F.lit(chunk_span)).cast("long").alias("chunk")
     tf2 = tf.join(lexicon.select("term", "term_id"), "term").select(
-        "term_id", "docid", F.col("tf").cast("int").alias("tf"),
-        F.col("doclen").cast("int").alias("doclen")
+        "term_id", chunk_expr, "docid",
+        F.shiftleft(F.col("tf").cast("long"), 32).bitwiseOR(
+            F.col("doclen").cast("long")).alias("tfdl"),
     )
-
-    runs = tf2.repartition(np_, F.col("term_id"), chunk_expr).sortWithinPartitions(
-        F.col("term_id"), chunk_expr, F.col("docid")
+    grouped = (
+        tf2.groupBy("term_id", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("docid", "tfdl"))).alias("posts"))
+        .select("term_id", "chunk",
+                F.col("posts.docid").alias("docids"),
+                F.col("posts.tfdl").alias("tfdls"))
+        # vocab-sized array rows: a cheap partition-local sort restores the
+        # (term_id, chunk) write order so parquet row groups keep tight
+        # term_id min/max stats for query-time row-group pruning
+        .sortWithinPartitions("term_id", "chunk")
     )
 
     def _pack_segments(tid, bid, seg_starts, seg_lengths, d, t, l):
@@ -465,56 +518,36 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
             "doclens": codec.encode_segments(sel_l.astype(np.uint64), out_starts),
         })
 
-    def _process(term_id, docid, tf_, doclen):
-        """Complete contiguous (term_id, chunk) groups -> block rows."""
-        n = len(docid)
-        chunk = docid // chunk_span
-        grp_change = np.empty(n, dtype=bool)
-        grp_change[0] = True
-        np.logical_or(term_id[1:] != term_id[:-1], chunk[1:] != chunk[:-1],
-                      out=grp_change[1:])
-        idx = np.arange(n, dtype=np.int64)
-        grp_start_idx = idx[grp_change]
-        local_rank = idx - grp_start_idx[np.cumsum(grp_change) - 1]
-        seg_mask = (local_rank % block_size) == 0
-        seg_starts = np.flatnonzero(seg_mask)
-        seg_lengths = np.diff(seg_starts, append=n)
-        bid = chunk[seg_starts] * blocks_per_chunk + local_rank[seg_starts] // block_size
-        return _pack_segments(term_id[seg_starts], bid,
-                              seg_starts, seg_lengths, docid, tf_, doclen)
-
-    def _chunks_to_blocks(batches):
-        carry = None
+    def _groups_to_blocks(batches):
+        """Self-contained (term_id, chunk, docids[], tfdls[]) array rows ->
+        block rows. No carry/streaming logic needed: every group is complete
+        in its row and bounded by chunk_span."""
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
+            n_groups = len(pdf)
+            if not n_groups:
                 continue
-            tid = pdf["term_id"].to_numpy()
-            chk = pdf["docid"].to_numpy() // chunk_span
-            tail_mask = (tid == tid[-1]) & (chk == chk[-1])
-            if tail_mask.all():
-                carry = pdf  # whole batch is one group: wait for its end
-                continue
-            last_group_start = int(np.flatnonzero(~tail_mask)[-1]) + 1
-            carry = pdf.iloc[last_group_start:]
-            head = pdf.iloc[:last_group_start]
-            yield _process(
-                head["term_id"].to_numpy(),
-                head["docid"].to_numpy(), head["tf"].to_numpy(np.int64),
-                head["doclen"].to_numpy(),
-            )
-        if carry is not None and len(carry):
-            yield _process(
-                carry["term_id"].to_numpy(),
-                carry["docid"].to_numpy(), carry["tf"].to_numpy(np.int64),
-                carry["doclen"].to_numpy(),
-            )
+            dlists = pdf["docids"].to_numpy()
+            lens = np.fromiter((len(a) for a in dlists), dtype=np.int64,
+                               count=n_groups)
+            d = np.concatenate(dlists).astype(np.int64)
+            tfdl = np.concatenate(pdf["tfdls"].to_numpy()).astype(np.int64)
+            tf_, doclen = tfdl >> np.int64(32), tfdl & np.int64(0xFFFFFFFF)
+            nb = (lens + block_size - 1) // block_size  # blocks per group
+            g_of_block = np.repeat(np.arange(n_groups, dtype=np.int64), nb)
+            blk_seq = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(nb) - nb, nb)
+            group_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            seg_starts = group_starts[g_of_block] + blk_seq * block_size
+            seg_lengths = np.minimum(block_size,
+                                     lens[g_of_block] - blk_seq * block_size)
+            tid = pdf["term_id"].to_numpy(np.int64)[g_of_block]
+            bid = pdf["chunk"].to_numpy(np.int64)[g_of_block] * blocks_per_chunk + blk_seq
+            yield _pack_segments(tid, bid, seg_starts, seg_lengths,
+                                 d, tf_, doclen)
 
     from pyspark.sql import Observation
 
-    out = runs.mapInPandas(_chunks_to_blocks, schema=POSTINGS_SCHEMA)
+    out = grouped.mapInPandas(_groups_to_blocks, schema=POSTINGS_SCHEMA)
     # NO re-partitioning before the write: the kernel's output is already
     # sorted by (term_id, block_id) within each (term_id, chunk)-hashed
     # partition (the invert's sortWithinPartitions order is preserved), so
@@ -530,7 +563,31 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
                       F.sum("count").alias("postings"),
                       (F.sum(F.length("docids_delta")) + F.sum(F.length("tfs"))
                        + F.sum(F.length("doclens"))).alias("bytes"))
-    out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    # Scoped session conf for the write: (a) the groupBy's reduce width comes
+    # from the shuffle-partitions knob — honor an explicit num_partitions
+    # override; (b) Arrow sizes batches in ROWS, and these rows carry up-to-
+    # chunk_span-element arrays — cap rows/batch so a pathological run of
+    # full groups (hot terms) cannot balloon one Arrow batch into gigabytes
+    # in the pack worker at web scale.
+    overrides = {"spark.sql.shuffle.partitions": str(np_),
+                 "spark.sql.execution.arrow.maxRecordsPerBatch": "8192"}
+    saved = {}
+    for k_, v_ in overrides.items():
+        try:
+            saved[k_] = spark.conf.get(k_)
+        except Exception:
+            saved[k_] = None
+        if str(saved[k_]) != v_:
+            spark.conf.set(k_, v_)
+    try:
+        out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    finally:
+        for k_, v_ in overrides.items():
+            if str(saved[k_]) != v_:
+                if saved[k_] is None:
+                    spark.conf.unset(k_)
+                else:
+                    spark.conf.set(k_, saved[k_])
     m = obs.get
     return {"blocks": int(m["blocks"] or 0), "postings": int(m["postings"] or 0),
             "bytes": int(m["bytes"] or 0)}

@@ -327,3 +327,40 @@ def test_ivf_many_centroids_high_dim(spark):
     # rank-0 self-hit: a query vector probes its own cluster by construction
     top0 = got[got["rank"] == 0].set_index("qid")["vec_id"]
     assert top0["0"] == 0 and top0["1"] == 1
+
+def test_real_wav_decode(spark):
+    """decoder='real' genuinely decodes RIFF/WAVE with the stdlib wave
+    module: header-true duration, windowed rFFT features with the spectral
+    peak at the synthesized tone's bin."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    rate, secs, freq = 8000, 1.0, 440.0
+    t = np.arange(int(rate * secs)) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * 32000).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(7, payload)], schema="id long, payload binary")
+
+    rows = audio_features(df, n_coeffs=64, decoder="real").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["duration_s"] == 1.0
+    assert r["n_windows"] == rate // 512
+    co = np.array(r["coeffs"])
+    expected_bin = round(freq * 512 / rate)  # 440 Hz -> bin ~28 at window 512
+    assert abs(int(np.argmax(co)) - expected_bin) <= 1
+    # determinism
+    again = audio_features(df, n_coeffs=64, decoder="real").collect()[0]
+    assert list(again["coeffs"]) == list(r["coeffs"])
+    # non-WAV payloads still refuse loudly in real mode
+    mp3 = spark.createDataFrame([(1, b"ID3fakecompressed")], "id long, payload binary")
+    with pytest.raises(Exception, match="WAV|RIFF"):
+        audio_features(mp3, decoder="real").collect()

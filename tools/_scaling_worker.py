@@ -2,7 +2,9 @@
 import json, os, sys, tempfile, time
 cpus = int(sys.argv[1]); ndocs = int(sys.argv[2]); nq = int(sys.argv[3])
 avg_tokens = int(sys.argv[4]) if len(sys.argv) > 4 else 400
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+mode = sys.argv[5] if len(sys.argv) > 5 else "local"
+repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo_root)
 # scratch + index outputs on tmpfs: this sandbox has ONE shared disk, so at
 # the high core count the (constant-bandwidth) shuffle/parquet I/O becomes
 # the bottleneck and its 25%+ run-to-run contention noise swamps the
@@ -12,13 +14,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 scratch = tempfile.mkdtemp(prefix=f"scale_shm_{cpus}_",
                            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 from pyspark.sql import SparkSession, functions as F
-spark = (SparkSession.builder.master(f"local[{cpus}]")
+# mode 'cluster': PROCESS-ISOLATED workers (Spark standalone local-cluster —
+# one JVM + its own python workers PER executor, communicating over
+# loopback), the closest single-host stand-in for adding real cluster
+# nodes: per-executor overheads (GC threads, shuffle servers) scale WITH
+# the worker count like a real 4N-node cluster, unlike local[N]'s one
+# shared JVM.
+if mode == "cluster":
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    master = f"local-cluster[{cpus},1,3072]"
+else:
+    master = f"local[{cpus}]"
+spark = (SparkSession.builder.master(master)
     .appName(f"scaling_{cpus}")
+    .config("spark.executorEnv.PYTHONPATH", repo_root)
     .config("spark.local.dir", scratch)
     .config("spark.sql.shuffle.partitions", "64")  # FIXED across levels: the
     # job's task structure must be identical at N and 4N cores, otherwise the
     # comparison measures different work, not scaling
-    .config("spark.sql.adaptive.enabled", "true")
+    # AQE OFF for the evidence runs: every shuffle width here is explicit and
+    # fixed (the task-structure contract above), so adaptive re-planning buys
+    # nothing and its per-stage driver pauses are pure serial constants that
+    # depress the measured efficiency at BOTH levels' expense (worse at 4N)
+    .config("spark.sql.adaptive.enabled", "false")
     .config("spark.driver.memory", "24g")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
