@@ -340,6 +340,26 @@ def q_bm25_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_bm25_impact_topk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 int32 serving fast path under the DuckDB oracle: the SAME
+    quantized impact index answered by LocalSearcher's integer dense
+    accumulate (exact integer sums, positional tie-trim) must reproduce the
+    SAME oracle rows as the Spark quantized batch kernel."""
+    from ..operators.serve import LocalSearcher
+
+    if sf_dir not in _QUANTIZED:
+        q_bm25_impact_topk(spark, sf_dir)  # builds + caches the impact index
+    ls = LocalSearcher(_QUANTIZED[sf_dir], scorer="quantized", stopwords="none")
+    assert ls._acc_i is not None, "int32 fast path should be armed"
+    pdf = ls.search(QUERIES, k=TOPK_K, cast_float32=False)
+    res = spark.createDataFrame(
+        pdf[["qid", "docid", "score", "rank"]],
+        schema="qid string, docid long, score double, rank int")
+    return res.select("qid", F.col("docid").alias("doc_id"),
+                      F.col("score").cast("long").alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_bm25_topk_terrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as bm25_topk_stop but with the vendored 733-word Terrier list —
     the reference's DEFAULT stopword behavior (``__init__.py:120``,
@@ -554,6 +574,9 @@ SELECT qid, doc_id, score, (rnk - 1)::INT AS rank FROM (
 ) WHERE rnk <= {TOPK_K}"""
 
 
+ORACLES["bm25_impact_topk_local"] = ORACLES["bm25_impact_topk"]
+
+
 from ..functions.stopwords import LUCENE as _LUCENE
 from ..functions.stopwords import TERRIER as _TERRIER
 
@@ -618,6 +641,7 @@ IR_QUERIES = {
     "qld_topk_blockmax": q_qld_topk_blockmax,
     "quantized_dot": q_quantized_dot,
     "bm25_impact_topk": q_bm25_impact_topk,
+    "bm25_impact_topk_local": q_bm25_impact_topk_local,
     "bm25_topk_stop": q_bm25_topk_stop,
     "bm25_topk_terrier": q_bm25_topk_terrier,
     "events_windowed": q_events_windowed,
