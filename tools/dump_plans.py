@@ -92,6 +92,37 @@ def main() -> None:
         "emits a local top-k.",
         _fmt(retrieve_blockmax(pidx, pq, k=10, include_query=False))))
 
+    # 3b. the invert (build's only posting-granularity shuffle)
+    from pyterrier_pisa_spark.sources.index_store import _fwd_to_tf
+    fwd = spark.read.parquet(f"{tmp}/idx/fwd")
+    tf = _fwd_to_tf(fwd)
+    lex = spark.read.parquet(f"{tmp}/idx/lexicon")
+    chunk_expr = (F.col("docid") / F.lit(256)).cast("long").alias("chunk")
+    tf2 = tf.join(lex.select("term", "term_id"), "term").select(
+        "term_id", chunk_expr, "docid",
+        F.shiftleft(F.col("tf").cast("long"), 32).bitwiseOR(
+            F.col("doclen").cast("long")).alias("tfdl"))
+    grouped = (tf2.groupBy("term_id", "chunk")
+               .agg(F.sort_array(F.collect_list(F.struct("docid", "tfdl"))).alias("posts"))
+               .select("term_id", "chunk",
+                       F.col("posts.docid").alias("docids"),
+                       F.col("posts.tfdl").alias("tfdls"))
+               .sortWithinPartitions("term_id", "chunk"))
+    sections.append((
+        "The invert (build phase 3 — map-side-combined aggregation shuffle)",
+        "The build's ONLY posting-granularity exchange: the lexicon join is "
+        "a BROADCAST (vocab-sized build side), the posting row is two longs "
+        "(term_id + docid, tf<<32|doclen packed), and ObjectHashAggregate "
+        "runs partial_collect_list BEFORE the exchange — each map "
+        "partition's postings collapse into one array row per (term_id, "
+        "chunk), so the shuffle moves array rows, not postings. Groups are "
+        "bounded by chunk_span (the chunk salt also spreads Zipf-hot terms "
+        "across reducers), sort_array orders each group by docid in place "
+        "of a partition-global Tungsten sort, and the final "
+        "sortWithinPartitions over vocab-sized array rows restores tight "
+        "(term_id) parquet row-group stats for query-time pruning.",
+        _fmt(grouped)))
+
     # 4. minhash near-dup pipeline
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     sections.append((
