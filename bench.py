@@ -207,6 +207,18 @@ def main() -> None:
     extra["repeats_detail"] = bench.stats
     extra["max_spread"] = max(s["spread"] for s in bench.stats.values())
 
+    # ---- co-measured HOST ENVELOPE (after spark.stop(), so the JVM isn't
+    # competing): K single-core copies of a fixed tokenize+stem workload. The
+    # ABSOLUTE single-copy seconds identify a degraded host window from the
+    # artifact alone (this box is bimodal for hours at a time — round 4's
+    # committed artifact recorded a phantom 2x query regression that a
+    # same-code re-run in a clean window dissolved); the 1->8 ratio is the
+    # concurrency ceiling the same-run bench numbers sat under.
+    try:
+        extra["host_envelope"] = _host_envelope()
+    except Exception as e:  # envelope is evidence, never a bench failure
+        extra["host_envelope"] = {"error": str(e)[:200]}
+
     # embed the latest scaling-efficiency evidence (north rule) if present
     scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
     if os.path.exists(scaling_file):
@@ -217,6 +229,7 @@ def main() -> None:
             "last": next(iter(sc["last"]["pairs"].values()), {}) if "last" in sc else None,
             "best_each": sc.get("best_each"),
             "median_recent": sc.get("median_recent"),
+            "interleaved": sc.get("interleaved_summary"),
             "n_runs": len(sc.get("runs", [])) or 1,
             "method": "tools/scaling_bench.py — fixed-work, core-pinned, 2->8 cores;"
                       " history in SCALING.json, table in BASELINE.md"}
@@ -230,13 +243,88 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extra": extra,
     }
-    # ALSO write to a file: terminal tail-capture truncated the r3 artifact's
-    # final JSON line ("parsed": null) — a file write cannot be truncated that
-    # way, so the driver/judge always has a parseable copy.
+    # FULL result (repeats detail, scaling history pointers) goes to a file —
+    # a file write cannot be tail-truncated the way the driver's terminal
+    # capture is (rounds 3 AND 4 recorded "parsed": null because the one
+    # stdout JSON line was longer than the ~2000-char tail window, so its
+    # HEAD was cut off).
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
-    print(json.dumps(result))
+    # stdout gets ONE line — a compact variant hard-capped under the capture
+    # window, so the line is simultaneously the first and last line of output
+    # and survives the tail capture whole.
+    print(json.dumps(_compact(result), separators=(",", ":")))
+
+
+# measured clean-window single-copy seconds for the envelope workload (40k
+# synthetic 400-token docs, tokenize+porter2, one pinned core; calibrated
+# 2026-08-17, three runs 3.0-3.2s). degradation = measured / ref; > ~1.3
+# marks a contended-host window whose bench numbers overstate cost.
+_ENVELOPE_REF_T1_SEC = 3.0
+_ENVELOPE_DOCS = 40000
+
+
+def _host_envelope() -> dict:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from host_envelope import WORK, run_k
+
+    fd, script = tempfile.mkstemp(suffix=".py")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(WORK.format(repo=here, docs=_ENVELOPE_DOCS))
+    try:
+        run_k(1, script)  # warm page cache / pyc
+        t1 = run_k(1, script)
+        t8 = run_k(8, script)
+    finally:
+        os.unlink(script)
+    t1m, t8m = statistics.mean(t1), statistics.mean(t8)
+    return {
+        "workload": f"python_tokenize_stem_{_ENVELOPE_DOCS}x400tok",
+        "t1_sec": round(t1m, 3),
+        "t8_mean_sec": round(t8m, 3),
+        "concurrency_ratio_1_to_8": round(t1m / t8m, 3),
+        "ref_t1_sec": _ENVELOPE_REF_T1_SEC,
+        "degradation_vs_ref": round(t1m / _ENVELOPE_REF_T1_SEC, 2),
+        "note": "degradation_vs_ref > ~1.3 => contended-host window; compare"
+                " bench numbers across rounds only at like degradation",
+    }
+
+
+def _compact(result: dict) -> dict:
+    """The stdout variant: same metric/value/queries, slimmed extra. Hard cap
+    1800 bytes (the driver keeps the LAST ~2000 chars of output and parses
+    the final line — the whole line must fit inside that window)."""
+    x = result["extra"]
+    slim = {k: x[k] for k in (
+        "cpus", "repeats", "documents_docs_per_sec", "blockmax_ms_per_query",
+        "batchmode_ms_per_query", "impact_ms_per_query", "synth_docs_per_sec",
+        "synth_ms_per_query", "local_serve_ms_per_query_p50",
+        "local_serve_ms_per_query_p95", "max_spread") if k in x}
+    env = x.get("host_envelope") or {}
+    slim["host_envelope"] = {k: env[k] for k in (
+        "t1_sec", "t8_mean_sec", "degradation_vs_ref") if k in env}
+    sc = x.get("scaling") or {}
+    if sc:
+        slim["scaling"] = {k: sc[k] for k in (
+            "median_recent", "n_runs") if sc.get(k) is not None}
+        inter = sc.get("interleaved") or {}
+        if inter:
+            # medians only — the full per-run lists live in bench_out.json and
+            # SCALING.json; embedding them here would outgrow the 1800-byte cap
+            slim["scaling"]["interleaved"] = {
+                k: inter[k] for k in
+                ("n_runs", "build_eff_median", "query_eff_median")
+                if k in inter}
+    slim["detail"] = "bench_out.json"
+    out = dict(result, extra=slim)
+    # progressive strip if ever over budget (defensive; normally ~1 KB)
+    for victim in ("scaling", "host_envelope", "detail"):
+        if len(json.dumps(out, separators=(",", ":"))) <= 1800:
+            break
+        out["extra"].pop(victim, None)
+    return out
 
 
 if __name__ == "__main__":

@@ -290,6 +290,31 @@ except Exception:
 
 _stem_impl = _PYSTEMMER or stem
 
+
+def stemmer_backend() -> str:
+    """Which porter2 implementation is ACTIVE in this process. The two
+    backends are algorithm-identical on every Snowball test vector, but index
+    contents must never silently depend on an optional import: ``build_index``
+    records this value into ``meta.json`` and ``load_index`` warns when the
+    querying process resolves a different backend."""
+    return "pystemmer" if _PYSTEMMER is not None else "vendored"
+
+
+def check_stemmer_backend(meta: dict) -> None:
+    """Warn if an index built under one porter2 backend is being queried under
+    the other (an edge-case divergence between them would silently mismatch
+    stems between index and query vocabularies)."""
+    built = meta.get("stemmer_backend")
+    if built and meta.get("stemmer") == "porter2" and built != stemmer_backend():
+        import warnings
+
+        warnings.warn(
+            f"index was built with porter2 backend {built!r} but this process "
+            f"resolves {stemmer_backend()!r}; stems could diverge on edge "
+            "cases. Set PYTERRIER_PISA_SPARK_NO_PYSTEMMER=1 (or install "
+            "PyStemmer) to match the build environment.",
+            RuntimeWarning, stacklevel=2)
+
 # PROCESS-LIFETIME stem memo: Spark reuses Python workers across Arrow batches
 # and tasks (spark.python.worker.reuse), so a module-global cache amortizes the
 # Zipf head of the vocabulary across the WHOLE build a worker participates in,

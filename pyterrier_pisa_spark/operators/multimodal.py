@@ -180,6 +180,11 @@ def audio_features(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                             "for compressed formats")
                     sig, rate = _decode_wav(b)
                     dur = round(sig.size / float(rate), 4)
+                    if sig.size < window:
+                        # sub-window (incl. zero-frame) payloads: zero-pad to
+                        # one full analysis window instead of letting reshape
+                        # blow up on a short tail
+                        sig = np.pad(sig, (0, window - sig.size))
                     nw = max(1, sig.size // window)
                     frames = sig[: nw * window].reshape(nw, window) * hann
                     mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)

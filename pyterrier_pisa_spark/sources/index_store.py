@@ -49,12 +49,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import porter2 as _p2
 from ..operators import build as B
 from ..operators import score as S
 from ..operators.codec import delta_encode_segments, get_codec
 from ..plans.pipeline import LogicalIndex, prepare_corpus
 
 FORMAT_VERSION = 1
+
+# Parquet row-group target for the postings tables. The default writer target
+# (128 MB) lets a small/mid-scale index collapse into ONE row group per file —
+# a single row group cannot be split, so the postings scan degenerates to one
+# task per file and the query-time term_id min/max pruning degenerates from
+# row-group to file granularity. 16 MB row groups keep (a) split parallelism
+# (a 1 GiB postings file reads as ~64 independently-scannable units) and
+# (b) real row-group-level term_id pruning at ANY corpus scale, while staying
+# far above the size where per-group metadata overhead matters.
+POSTINGS_PARQUET_BLOCK_BYTES = 16 << 20
 DEFAULT_CHUNK_SPAN = 1 << 16  # docids per chunk row (bounds collect_list row size)
 
 POSTINGS_SCHEMA = (
@@ -343,6 +354,11 @@ def build_index(
         "format": "pyterrier_pisa_spark",
         "batch_groups": batch_groups,
         "stemmer": stemmer if not pretokenized else "none",
+        # which porter2 implementation produced the index vocabulary (the
+        # optional PyStemmer C backend vs the vendored from-spec stemmer) —
+        # load_index warns when the querying process resolves the other one
+        "stemmer_backend": (_p2.stemmer_backend()
+                            if stemmer == "porter2" and not pretokenized else None),
         "pretokenized": pretokenized,
         "scale": scale if pretokenized else None,
         "block_size": block_size,
@@ -404,6 +420,71 @@ def _fwd_to_tf(fwd: DataFrame) -> DataFrame:
         F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("_e"),
     ).select("docid", F.col("_e.term").alias("term"),
              F.col("_e.tf").cast("int").alias("tf"), "doclen")
+
+
+def make_block_packer(codec, block_size: int, blocks_per_chunk: int,
+                      k1: float, b: float, avgdl: float):
+    """The invert's pack kernel as a standalone ``mapInPandas`` function:
+    self-contained (term_id, chunk, docids[], tfdls[]) array rows -> packed
+    128-posting block rows. Module-level (not a closure of ``_build_postings``)
+    so the block invariants — chunk-locality, strictly increasing block_id,
+    count <= block_size, byte-exact codec roundtrip — are property-fuzzable
+    without a SparkSession (``tests/test_codec.py``)."""
+
+    def _pack_segments(tid, bid, seg_starts, seg_lengths, d, t, l):
+        """A batch of segments (each <= block_size) -> block rows, vectorized.
+
+        block_max_score holds the scorer-INDEPENDENT-of-df "rest" factor
+            rest(tf, dl) = (k1+1)*tf / (tf + k1*(1-b + b*dl/avgdl))
+        (meta block_max_kind='bm25_rest'); the true BM25 block bound is
+        idf(df) * rest, reconstructed at query time (idf is per-term, known
+        to the kernels from the lexicon join)."""
+        out_starts = np.concatenate(([0], np.cumsum(seg_lengths)))[:-1]
+        idx = np.repeat(seg_starts - out_starts, seg_lengths) + np.arange(
+            int(seg_lengths.sum()), dtype=np.int64
+        )
+        sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
+        scores = (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
+        bmax = np.maximum.reduceat(scores, out_starts)
+        ends = out_starts + seg_lengths - 1
+        gaps = delta_encode_segments(sel_d, out_starts)
+        return pd.DataFrame({
+            "term_id": tid, "block_id": bid,
+            "count": seg_lengths.astype(np.int32),
+            "docid_first": sel_d[out_starts], "docid_last": sel_d[ends],
+            "block_max_score": bmax,
+            "docids_delta": codec.encode_segments(gaps.astype(np.uint64), out_starts),
+            "tfs": codec.encode_segments(sel_t.astype(np.uint64), out_starts),
+            "doclens": codec.encode_segments(sel_l.astype(np.uint64), out_starts),
+        })
+
+    def _groups_to_blocks(batches):
+        """No carry/streaming logic needed: every group is complete in its
+        row and bounded by chunk_span."""
+        for pdf in batches:
+            n_groups = len(pdf)
+            if not n_groups:
+                continue
+            dlists = pdf["docids"].to_numpy()
+            lens = np.fromiter((len(a) for a in dlists), dtype=np.int64,
+                               count=n_groups)
+            d = np.concatenate(dlists).astype(np.int64)
+            tfdl = np.concatenate(pdf["tfdls"].to_numpy()).astype(np.int64)
+            tf_, doclen = tfdl >> np.int64(32), tfdl & np.int64(0xFFFFFFFF)
+            nb = (lens + block_size - 1) // block_size  # blocks per group
+            g_of_block = np.repeat(np.arange(n_groups, dtype=np.int64), nb)
+            blk_seq = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(nb) - nb, nb)
+            group_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            seg_starts = group_starts[g_of_block] + blk_seq * block_size
+            seg_lengths = np.minimum(block_size,
+                                     lens[g_of_block] - blk_seq * block_size)
+            tid = pdf["term_id"].to_numpy(np.int64)[g_of_block]
+            bid = pdf["chunk"].to_numpy(np.int64)[g_of_block] * blocks_per_chunk + blk_seq
+            yield _pack_segments(tid, bid, seg_starts, seg_lengths,
+                                 d, tf_, doclen)
+
+    return _groups_to_blocks
 
 
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
@@ -491,59 +572,8 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
         .sortWithinPartitions("term_id", "chunk")
     )
 
-    def _pack_segments(tid, bid, seg_starts, seg_lengths, d, t, l):
-        """A batch of segments (each <= block_size) -> block rows, vectorized.
-
-        block_max_score holds the scorer-INDEPENDENT-of-df "rest" factor
-            rest(tf, dl) = (k1+1)*tf / (tf + k1*(1-b + b*dl/avgdl))
-        (meta block_max_kind='bm25_rest'); the true BM25 block bound is
-        idf(df) * rest, reconstructed at query time (idf is per-term, known
-        to the kernels from the lexicon join)."""
-        out_starts = np.concatenate(([0], np.cumsum(seg_lengths)))[:-1]
-        idx = np.repeat(seg_starts - out_starts, seg_lengths) + np.arange(
-            int(seg_lengths.sum()), dtype=np.int64
-        )
-        sel_d, sel_t, sel_l = d[idx], t[idx].astype(np.float64), l[idx].astype(np.float64)
-        scores = (k1 + 1.0) * sel_t / (sel_t + k1 * (1.0 - b + b * sel_l / avgdl))
-        bmax = np.maximum.reduceat(scores, out_starts)
-        ends = out_starts + seg_lengths - 1
-        gaps = delta_encode_segments(sel_d, out_starts)
-        return pd.DataFrame({
-            "term_id": tid, "block_id": bid,
-            "count": seg_lengths.astype(np.int32),
-            "docid_first": sel_d[out_starts], "docid_last": sel_d[ends],
-            "block_max_score": bmax,
-            "docids_delta": codec.encode_segments(gaps.astype(np.uint64), out_starts),
-            "tfs": codec.encode_segments(sel_t.astype(np.uint64), out_starts),
-            "doclens": codec.encode_segments(sel_l.astype(np.uint64), out_starts),
-        })
-
-    def _groups_to_blocks(batches):
-        """Self-contained (term_id, chunk, docids[], tfdls[]) array rows ->
-        block rows. No carry/streaming logic needed: every group is complete
-        in its row and bounded by chunk_span."""
-        for pdf in batches:
-            n_groups = len(pdf)
-            if not n_groups:
-                continue
-            dlists = pdf["docids"].to_numpy()
-            lens = np.fromiter((len(a) for a in dlists), dtype=np.int64,
-                               count=n_groups)
-            d = np.concatenate(dlists).astype(np.int64)
-            tfdl = np.concatenate(pdf["tfdls"].to_numpy()).astype(np.int64)
-            tf_, doclen = tfdl >> np.int64(32), tfdl & np.int64(0xFFFFFFFF)
-            nb = (lens + block_size - 1) // block_size  # blocks per group
-            g_of_block = np.repeat(np.arange(n_groups, dtype=np.int64), nb)
-            blk_seq = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(
-                np.cumsum(nb) - nb, nb)
-            group_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            seg_starts = group_starts[g_of_block] + blk_seq * block_size
-            seg_lengths = np.minimum(block_size,
-                                     lens[g_of_block] - blk_seq * block_size)
-            tid = pdf["term_id"].to_numpy(np.int64)[g_of_block]
-            bid = pdf["chunk"].to_numpy(np.int64)[g_of_block] * blocks_per_chunk + blk_seq
-            yield _pack_segments(tid, bid, seg_starts, seg_lengths,
-                                 d, tf_, doclen)
+    _groups_to_blocks = make_block_packer(codec, block_size, blocks_per_chunk,
+                                          k1, b, avgdl)
 
     from pyspark.sql import Observation
 
@@ -580,7 +610,9 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
         if str(saved[k_]) != v_:
             spark.conf.set(k_, v_)
     try:
-        out.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        out.write.mode("overwrite") \
+            .option("parquet.block.size", str(POSTINGS_PARQUET_BLOCK_BYTES)) \
+            .parquet(os.path.join(path, "postings"))
     finally:
         for k_, v_ in overrides.items():
             if str(saved[k_]) != v_:
@@ -666,7 +698,9 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
                        "block_max_score", "docids_delta", "tfs", "doclens"]]
 
     out = blocks.mapInPandas(_quantize, schema=POSTINGS_SCHEMA)
-    out.write.mode("overwrite").parquet(os.path.join(dst_path, "postings"))
+    out.write.mode("overwrite") \
+        .option("parquet.block.size", str(POSTINGS_PARQUET_BLOCK_BYTES)) \
+        .parquet(os.path.join(dst_path, "postings"))
     pc = spark.read.parquet(os.path.join(dst_path, "postings"))
     term_stats = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_score"))
     term_stats.write.mode("overwrite").parquet(os.path.join(dst_path, "term_stats"))
@@ -918,6 +952,7 @@ def load_index(spark: SparkSession, path: str,
 
     meta = json.load(open(os.path.join(path, "meta.json")))
     _verify_table_refs(path, meta)
+    _p2.check_stemmer_backend(meta)  # warn on vendored-vs-PyStemmer mismatch
     lexicon = spark.read.parquet(_table_path(path, meta, "lexicon"))
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     lexicon = lexicon.join(term_stats, "term_id", "left").fillna({"max_score": 0.0})

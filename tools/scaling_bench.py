@@ -2,14 +2,27 @@
 efficiency >= 0.8 going from N to 4N executors, build and query).
 
 No real cluster exists in this sandbox, so the same job runs at two
-parallelism levels — local[8] vs local[32] — on the SAME input; efficiency
-is (throughput_4N / throughput_N) / 4.
+parallelism levels — default 2 vs 8 pinned cores — on the SAME input;
+efficiency is (throughput_4N / throughput_N) / 4.
+
+Two evidence protocols (--protocol):
+  interleaved (default, round 5) — >=3 alternating A/B/A/B measurements per
+    level within ONE invocation; the run's efficiency is the ratio of
+    per-level MEDIAN throughputs. One invocation = one noise-resistant
+    efficiency sample; the north-rule evidence is the median over >=10 such
+    runs spread across hours (SCALING.json "interleaved_summary"). This
+    protocol exists because the r1-r4 single-shot history measured +-0.15
+    noise on this host (including two physically impossible >1.0 readings):
+    alternation puts both levels inside the same host window, and medians
+    reject the co-tenant spikes best-of folded in.
+  bestof (legacy) — best throughput per level across repeats (the r3/r4
+    history's methodology; kept for comparability).
 
 Each measurement is steady-state: a warm-up build+query JITs the JVM and
 spawns the Arrow Python workers before the timed runs.
 
-Usage: python tools/scaling_bench.py [--docs 50000] [--queries 200]
-Prints one JSON line; also appended by hand to BASELINE.md §BENCH.
+Usage: python tools/scaling_bench.py [--docs 100000] [--queries 4000]
+Prints one JSON line; history accumulates in SCALING.json.
 """
 
 from __future__ import annotations
@@ -151,10 +164,20 @@ def main() -> None:
                          "local-cluster with N single-core PROCESS-ISOLATED "
                          "workers (own JVM + python workers each) — the "
                          "single-host stand-in for adding real nodes")
-    ap.add_argument("--repeats", type=int, default=1,
-                    help="interleaved repeats per level; best throughput wins "
-                         "(controls host noise)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="repeats per level (A/B/A/B-interleaved across "
+                         "levels either way)")
+    ap.add_argument("--protocol", type=str, default="interleaved",
+                    choices=("interleaved", "bestof"),
+                    help="'interleaved' (round-5 default): >=3 alternating "
+                         "measurements per level within THIS invocation, "
+                         "efficiency from the ratio of per-level MEDIANS — "
+                         "noise-rejecting without best-of's upward bias. "
+                         "'bestof': legacy best-throughput-per-level "
+                         "(matches the r3/r4 history's methodology)")
     args = ap.parse_args()
+    if args.protocol == "interleaved" and args.repeats < 3:
+        ap.error("--protocol interleaved requires --repeats >= 3")
 
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, "_scaling_worker.py")
@@ -164,6 +187,7 @@ def main() -> None:
     levels = [int(x) for x in args.levels.split(",")]
     ncores = os.cpu_count() or 32
     results = {}
+    samples: dict[int, list] = {c: [] for c in levels}
     for rep in range(args.repeats):
         for cpus in levels:  # interleaved: host drift hits all levels equally
             # taskset pins the WHOLE worker (JVM shuffle/GC/compression
@@ -193,10 +217,11 @@ def main() -> None:
                 print(f"FAILED at local[{cpus}]:", out.stderr[-2000:], file=sys.stderr)
                 raise SystemExit(1)
             r = json.loads(line[-1])
+            samples[cpus].append(r)
             prev = results.get(cpus)
             if prev is None:
-                results[cpus] = r
-            else:  # best-of-N per metric (noise control)
+                results[cpus] = dict(r)
+            else:  # best-of-N per metric (noise control; legacy protocol)
                 if r["build_sec"] < prev["build_sec"]:
                     prev["build_sec"] = r["build_sec"]
                     prev["build_docs_per_sec"] = r["build_docs_per_sec"]
@@ -205,6 +230,24 @@ def main() -> None:
                     prev["query_sec"] = r["query_sec"]
                     prev["queries_per_sec"] = r["queries_per_sec"]
                     prev["ms_per_query"] = r["ms_per_query"]
+
+    import statistics as _stm
+    if args.protocol == "interleaved":
+        # per-level MEDIAN throughput over the alternating measurements —
+        # best-of is upward-biased and a lone co-tenant spike in either
+        # level's list no longer decides the run's efficiency
+        for cpus, rs in samples.items():
+            results[cpus] = dict(results[cpus])
+            results[cpus]["build_docs_per_sec"] = round(
+                _stm.median(x["build_docs_per_sec"] for x in rs), 1)
+            results[cpus]["queries_per_sec"] = round(
+                _stm.median(x["queries_per_sec"] for x in rs), 1)
+            results[cpus]["build_sec"] = round(
+                _stm.median(x["build_sec"] for x in rs), 2)
+            results[cpus]["query_sec"] = round(
+                _stm.median(x["query_sec"] for x in rs), 2)
+            results[cpus]["runs_build_sec"] = [x["build_sec"] for x in rs]
+            results[cpus]["runs_query_sec"] = [x["query_sec"] for x in rs]
 
     pairs = {}
     lv = sorted(results)
@@ -241,12 +284,21 @@ def main() -> None:
         envelope = round(_st2.mean(lo_t) / _st2.mean(hi_t), 3)
     except Exception:
         pass
+    # measurement-methodology fingerprint: runs are only pooled for the
+    # "typical efficiency" medians when EVERY knob that changes what is being
+    # measured matches — the r4 history silently pooled AQE-on (pre-change)
+    # with AQE-off (post-change) runs
+    config_fp = (f"proto={args.protocol}|mode={args.mode}|aqe=off|sp=64|"
+                 f"tmpfs|v2commit|levels={','.join(map(str, lv))}")
     out = {
         "metric": "scaling_efficiency",
         "docs": args.docs,
         "avg_tokens": args.avg_tokens,
         "mode": args.mode,
         "queries": args.queries,
+        "protocol": args.protocol,
+        "repeats": args.repeats,
+        "config_fp": config_fp,
         "levels": results,
         "pairs": pairs,
         "host_envelope": envelope,
@@ -282,21 +334,52 @@ def main() -> None:
 
     hist["best"] = max(hist["runs"], key=_score)
     hist["last"] = out
-    # median over the most recent 3 runs of the SAME workload — the
-    # north-rule evidence is the TYPICAL efficiency, not the lucky tail
-    same = [r for r in hist["runs"]
-            if r.get("docs") == out["docs"] and r.get("avg_tokens") == out.get("avg_tokens")
-            and r.get("mode", "local") == out.get("mode", "local")
-            and set(r.get("pairs", {})) == set(out["pairs"])][-3:]
+    # median over the most recent 3 runs of the SAME workload AND the same
+    # measurement methodology (config_fp) — the north-rule evidence is the
+    # TYPICAL efficiency, not the lucky tail, and pooling across
+    # methodologies (e.g. AQE on vs off, best-of vs interleaved) mixes
+    # distributions
+    def _same_config(r):
+        return (r.get("docs") == out["docs"]
+                and r.get("avg_tokens") == out.get("avg_tokens")
+                and r.get("mode", "local") == out.get("mode", "local")
+                and r.get("config_fp") == config_fp
+                and set(r.get("pairs", {})) == set(out["pairs"]))
+
     import statistics as _st
+    same = [r for r in hist["runs"] if _same_config(r)][-3:]
     if same:
         hist["median_recent"] = {
             "workload": {"docs": out["docs"], "avg_tokens": out.get("avg_tokens"),
                          "queries": out["queries"], "n_runs": len(same)},
+            "config_fp": config_fp,
             "build_scaling_efficiency": round(_st.median(
                 next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in same), 3),
             "query_scaling_efficiency": round(_st.median(
                 next(iter(r["pairs"].values()))["query_scaling_efficiency"] for r in same), 3),
+        }
+    # the round-5 evidence protocol: ALL interleaved-protocol runs of this
+    # workload+config, each contributing ONE ratio-of-medians efficiency;
+    # the summary is their median + the full per-run lists (bimodality is
+    # visible from the artifact, not argued around it)
+    inter = [r for r in hist["runs"]
+             if r.get("protocol") == "interleaved" and _same_config(r)]
+    if inter:
+        eb = [next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in inter]
+        eq = [next(iter(r["pairs"].values()))["query_scaling_efficiency"] for r in inter]
+        hist["interleaved_summary"] = {
+            "workload": {"docs": out["docs"], "avg_tokens": out.get("avg_tokens"),
+                         "queries": out["queries"]},
+            "config_fp": config_fp,
+            "n_runs": len(inter),
+            "build_eff_runs": eb,
+            "query_eff_runs": eq,
+            "build_eff_median": round(_st.median(eb), 3),
+            "query_eff_median": round(_st.median(eq), 3),
+            "target": 0.8,
+            "method": "per run: >=3 alternating 2-core/8-core measurements,"
+                      " efficiency = ratio of per-level MEDIAN throughputs;"
+                      " runs spread across hours",
         }
     hist["best_each"] = {
         "build_scaling_efficiency": max(
