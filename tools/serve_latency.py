@@ -93,7 +93,25 @@ def main() -> None:
     ls_q = LocalSearcher(qidx, scorer="quantized")
     res["dense_int32_build_sec"] = round(time.time() - t0, 2)
     assert ls_q._acc_i is not None, "int path should be armed"
+    assert ls_q._dvecs, "df-head dense cache should be armed"
     res["dense_int32"] = lat_profile(ls_q)
+    res["dense_cache_terms"] = len(ls_q._dvecs)
+
+    # honesty profiles: (a) the same hot queries with the df-head dense cache
+    # DISABLED (pure scatter — what tail-heavy traffic would see), (b) mid-df
+    # tail-term queries on the cached searcher (mixed/scatter route)
+    ls_q0 = LocalSearcher(qidx, scorer="quantized", dense_cache_bytes=0)
+    res["dense_int32_cache_off"] = lat_profile(ls_q0)
+    tail_vocab = [r["term"] for r in
+                  idx.lexicon.orderBy(F.desc("df"), F.asc("term"))
+                  .limit(400).collect()][200:212]
+    tail_queries = [(f"t{i}", f"{tail_vocab[i % 12]} {tail_vocab[(i + 3) % 12]} "
+                             f"{tail_vocab[(i + 7) % 12]}")
+                    for i in range(N_QUERIES)]
+    sub = list(queries)
+    queries[:] = tail_queries
+    res["dense_int32_tail_terms"] = lat_profile(ls_q)
+    queries[:] = sub
 
     ls_b = LocalSearcher(idx, scorer="bm25", mode="blockmax")
     res["blockmax"] = lat_profile(ls_b)
