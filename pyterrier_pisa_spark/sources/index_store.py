@@ -162,7 +162,14 @@ def build_index(
         # small inputs arrive in few parquet splits (maxPartitionBytes); the
         # tokenize UDF stage must span the full parallelism regardless — and
         # at FINE, cluster-size-invariant granularity (shuffle-partitions
-        # width): doc-length variance balances over waves at any core count
+        # width): doc-length variance balances over waves at any core count,
+        # and the fwd files it writes carry that granularity into the
+        # invert/lexicon scans below. (An r5 experiment gated this on cores
+        # instead: absolute 2-core time improved ~7 s, but the coarse fwd
+        # files throttled the invert map side at every level — measured
+        # postings-phase regression at BOTH 2 and 8 cores — so the fine
+        # exchange stays. At real scale splits >> width and this never
+        # fires.)
         if corpus.rdd.getNumPartitions() < sp_:
             corpus = corpus.repartition(sp_)
         prepared = prepare_corpus(corpus, docno_col=docno_col, id_col=id_col,
@@ -176,7 +183,25 @@ def build_index(
                           F.min("docid").alias("mn"), F.max("docid").alias("mx"),
                           F.sum(F.size("terms")).alias("nterms"),
                           F.sum("doclen").alias("total_dl"))
-        fwd.write.mode("overwrite").parquet(os.path.join(path, "fwd"))
+        # Bounded Arrow batches through the tokenize UDF: one giant batch per
+        # task serializes the whole scan -> python -> parquet-write pipeline
+        # (the JVM idles while python chews, python idles while the JVM
+        # writes). ~1k docs per batch keeps every stage streaming — measured
+        # 5.8s vs 30s for the same 8-task tokenize of 100k docs under a
+        # 100k-record batch cap — while staying far above the per-batch
+        # roundtrip overhead and the vectorized kernel's amortization knee.
+        _bk = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        _saved_bk = spark.conf.get(_bk, "10000")
+        spark.conf.set(_bk, "1024")
+        try:
+            # 16 MB row groups (same rationale as the postings write): fwd
+            # files written by big tasks stay splittable for the downstream
+            # invert/lexicon scans at any corpus scale
+            fwd.write.mode("overwrite") \
+                .option("parquet.block.size", str(POSTINGS_PARQUET_BLOCK_BYTES)) \
+                .parquet(os.path.join(path, "fwd"))
+        finally:
+            spark.conf.set(_bk, _saved_bk)
         agg = obs.get
         fwd_r = spark.read.parquet(os.path.join(path, "fwd"))
         ndocs, nposts = agg["ndocs"], int(agg["nterms"] or 0)

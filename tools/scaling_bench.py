@@ -288,8 +288,14 @@ def main() -> None:
     # "typical efficiency" medians when EVERY knob that changes what is being
     # measured matches — the r4 history silently pooled AQE-on (pre-change)
     # with AQE-off (post-change) runs
-    config_fp = (f"proto={args.protocol}|mode={args.mode}|aqe=off|sp=64|"
-                 f"tmpfs|v2commit|levels={','.join(map(str, lv))}")
+    # eng= bumps when a measurement-relevant ENGINE change lands mid-round
+    # (r5c: the r5b cores-based repartition gates were REVERTED after the
+    # coarse fwd files they produced measurably throttled the invert at both
+    # levels; tokenize Arrow batches capped at 1024 records + fwd row-group
+    # sizing kept), so efficiency samples from different engine builds never
+    # pool into one median. docs= is in the pooled-workload key already.
+    config_fp = (f"proto={args.protocol}|mode={args.mode}|eng=r5c|aqe=off|"
+                 f"sp=64|tmpfs|v2commit|levels={','.join(map(str, lv))}")
     out = {
         "metric": "scaling_efficiency",
         "docs": args.docs,
