@@ -126,6 +126,26 @@ def main() -> None:
     if OUT:
         with open(OUT, "w") as fh:
             json.dump(res, fh, indent=1)
+    # append to the repo-root run history (same pattern as SCALING.json) so
+    # the multi-run serving-latency evidence is one committed artifact, not
+    # numbers transcribed into prose
+    res["ts"] = round(time.time(), 1)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist_path = os.path.join(root, "SERVE_LATENCY.json")
+    hist = {"runs": []}
+    if os.path.exists(hist_path):
+        try:
+            hist = json.load(open(hist_path))
+        except Exception:
+            pass
+    hist["runs"].append(res)
+    sel = [r for r in hist["runs"] if r.get("ndocs") == N_DOCS and "dense_int32" in r]
+    if sel:
+        hist["p50_int32_runs_ms"] = [r["dense_int32"]["p50_ms"] for r in sel]
+        hist["p50_int32_median_ms"] = round(
+            statistics.median(hist["p50_int32_runs_ms"]), 3)
+    with open(hist_path, "w") as fh:
+        json.dump(hist, fh, indent=1)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
