@@ -165,9 +165,16 @@ def test_image_features_deterministic(spark, media):
         assert len(d1[k]) == 16
 
 
-def test_real_decoder_raises(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        decode_image_features(media, decoder="real").collect()
+def test_real_decoder_raises_on_unsupported_format(spark, media):
+    # jpeg has no stdlib codec — the real path must raise loudly, not fake it
+    with pytest.raises(Exception, match="NotImplementedError|PNG payloads only"):
+        decode_image_features(media.filter("id = 1"), decoder="real").collect()
+
+
+def test_real_decoder_rejects_corrupt_png(spark, media):
+    # valid PNG signature, garbage chunks -> loud corrupt-PNG error
+    with pytest.raises(Exception, match="corrupt PNG"):
+        decode_image_features(media.filter("id = 0"), decoder="real").collect()
 
 
 def test_resize_and_frames_shapes(spark, media):
