@@ -43,34 +43,39 @@ def main() -> None:
                 return part[4:]
         return "r5a"
 
-    print("| run | engine | build eff | query eff | bw probe (GB/s, med/min) | window |")
-    print("|---|---|---|---|---|---|")
+    print("| run | engine | docs | build eff | query eff | bw probe (GB/s, med/min) | window |")
+    print("|---|---|---|---|---|---|---|")
     rows = []
     for i, r in enumerate(inter, 1):
         p = next(iter(r["pairs"].values()))
         tr = [q["bw_gbps"] for q in r.get("probe_trace", []) if "bw_gbps" in q]
         bw = f"{st.median(tr):.1f} / {min(tr):.1f}" if tr else "—"
         w = classify(r, best_bw)
-        rows.append((p["build_scaling_efficiency"], p["query_scaling_efficiency"], w))
+        docs = r.get("docs", 0)
+        rows.append((p["build_scaling_efficiency"], p["query_scaling_efficiency"], w, docs))
         b, q = p["build_scaling_efficiency"], p["query_scaling_efficiency"]
         bs = f"**{b}**" if b >= 0.8 else f"{b}"
         qs = f"**{q}**" if q >= 0.8 else f"{q}"
-        print(f"| {i} | {eng(r)} | {bs} | {qs} | {bw} | {w} |")
-    eb = [x[0] for x in rows]
-    eq = [x[1] for x in rows]
+        print(f"| {i} | {eng(r)} | {docs // 1000}k | {bs} | {qs} | {bw} | {w} |")
     print()
-    print(f"All {len(rows)} runs: build median {st.median(eb):.3f}, "
-          f"query median {st.median(eq):.3f}.")
-    clean = [x for x in rows if x[2] == "clean"]
-    if clean:
-        print(f"Clean-window runs ({len(clean)}): build median "
-              f"{st.median(x[0] for x in clean):.3f}, query median "
-              f"{st.median(x[1] for x in clean):.3f}.")
-    cont = [x for x in rows if x[2] == "contended"]
-    if cont:
-        print(f"Contended-window runs ({len(cont)}): build median "
-              f"{st.median(x[0] for x in cont):.3f}, query median "
-              f"{st.median(x[1] for x in cont):.3f}.")
+    # medians are per-workload: efficiency ratios at different corpus sizes
+    # measure different fixed-cost regimes and must never pool
+    for docs in sorted({x[3] for x in rows}):
+        sub = [x for x in rows if x[3] == docs]
+        print(f"{docs // 1000}k-doc runs ({len(sub)}): build median "
+              f"{st.median(x[0] for x in sub):.3f}, query median "
+              f"{st.median(x[1] for x in sub):.3f}.", end="")
+        clean = [x for x in sub if x[2] == "clean"]
+        if clean:
+            print(f" Clean-window ({len(clean)}): build "
+                  f"{st.median(x[0] for x in clean):.3f}, query "
+                  f"{st.median(x[1] for x in clean):.3f}.", end="")
+        cont = [x for x in sub if x[2] == "contended"]
+        if cont:
+            print(f" Contended ({len(cont)}): build "
+                  f"{st.median(x[0] for x in cont):.3f}, query "
+                  f"{st.median(x[1] for x in cont):.3f}.", end="")
+        print()
 
 
 if __name__ == "__main__":
