@@ -80,8 +80,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
-    Up is vectorized; Sub/Average/Paeth carry a serial dependency along x so
-    they loop per byte — fine for the small-image regime this runs at."""
+    Up is vectorized row-wise; Sub vectorizes as a per-lane cumulative sum
+    mod 256 (mod distributes over addition). Average/Paeth carry a serial
+    dependency on the already-reconstructed left pixel so they loop per
+    byte — fine for the small-image regime this runs at."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     pos = 0
@@ -93,8 +95,7 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
         if f == 0:
             pass
         elif f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            cur = (cur.reshape(-1, bpp).cumsum(axis=0) & 0xFF).ravel()
         elif f == 2:  # Up
             cur = (cur + prev) & 0xFF
         elif f == 3:  # Average
