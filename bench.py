@@ -228,8 +228,14 @@ def main() -> None:
             "best": next(iter(sc["best"]["pairs"].values()), {}) if "best" in sc else sc.get("pairs"),
             "last": next(iter(sc["last"]["pairs"].values()), {}) if "last" in sc else None,
             "best_each": sc.get("best_each"),
-            "median_recent": sc.get("median_recent"),
-            "interleaved": sc.get("interleaved_summary"),
+            # per-workload medians over the FULL interleaved history (one
+            # efficiency sample per run; different corpus sizes measure
+            # different fixed-cost regimes and never pool) — both the raw
+            # 2->8-core ratio and the same ratio normalized by each run's
+            # co-measured host envelope. This replaces the old
+            # "median_recent" (last-3-runs-of-whatever-workload-ran-last),
+            # which could lead the artifact with a single contended window.
+            "interleaved_per_workload": _interleaved_medians(sc.get("runs", [])),
             "n_runs": len(sc.get("runs", [])) or 1,
             "method": "tools/scaling_bench.py — fixed-work, core-pinned, 2->8 cores;"
                       " history in SCALING.json, table in BASELINE.md"}
@@ -292,6 +298,38 @@ def _host_envelope() -> dict:
     }
 
 
+def _interleaved_medians(runs: list) -> dict:
+    """Per-workload medians over every interleaved-protocol run of the
+    current engine fingerprint (eng=r5c; other fingerprints — e.g. the
+    reverted r5b experiment — are separate methodologies and never pool).
+    Keyed by doc count ('100k', ...); raw = ratio of per-level median
+    throughputs, envnorm = raw / that run's co-measured host envelope."""
+    by_docs: dict = {}
+    for r in runs:
+        if r.get("protocol") != "interleaved":
+            continue
+        if "eng=r5c" not in r.get("config_fp", ""):
+            continue
+        p = next(iter(r.get("pairs", {}).values()), None)
+        if not p:
+            continue
+        by_docs.setdefault(r.get("docs", 0), []).append(p)
+    out = {}
+    for docs in sorted(by_docs):
+        ps = by_docs[docs]
+        def med(key):
+            vals = [p[key] for p in ps if p.get(key) is not None]
+            return round(statistics.median(vals), 3) if vals else None
+        out[f"{docs // 1000}k"] = {
+            "n_runs": len(ps),
+            "build_eff_median_raw": med("build_scaling_efficiency"),
+            "query_eff_median_raw": med("query_scaling_efficiency"),
+            "build_eff_median_envnorm": med("build_eff_envelope_normalized"),
+            "query_eff_median_envnorm": med("query_eff_envelope_normalized"),
+        }
+    return out
+
+
 def _compact(result: dict) -> dict:
     """The stdout variant: same metric/value/queries, slimmed extra. Hard cap
     1800 bytes (the driver keeps the LAST ~2000 chars of output and parses
@@ -307,16 +345,11 @@ def _compact(result: dict) -> dict:
         "t1_sec", "t8_mean_sec", "degradation_vs_ref") if k in env}
     sc = x.get("scaling") or {}
     if sc:
+        # per-workload medians only — the full per-run lists live in
+        # bench_out.json and SCALING.json; embedding them here would outgrow
+        # the 1800-byte cap
         slim["scaling"] = {k: sc[k] for k in (
-            "median_recent", "n_runs") if sc.get(k) is not None}
-        inter = sc.get("interleaved") or {}
-        if inter:
-            # medians only — the full per-run lists live in bench_out.json and
-            # SCALING.json; embedding them here would outgrow the 1800-byte cap
-            slim["scaling"]["interleaved"] = {
-                k: inter[k] for k in
-                ("n_runs", "build_eff_median", "query_eff_median")
-                if k in inter}
+            "interleaved_per_workload", "n_runs") if sc.get(k) is not None}
     slim["detail"] = "bench_out.json"
     out = dict(result, extra=slim)
     # progressive strip if ever over budget (defensive; normally ~1 KB)
