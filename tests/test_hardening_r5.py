@@ -304,3 +304,47 @@ def test_pack_kernel_property_fuzz():
         assert len(got) == len(postings)
 
     check()
+
+
+def test_bench_interleaved_medians_per_workload():
+    """bench.py's scaling block must aggregate per workload size, restrict to
+    the current engine fingerprint, and report both the raw and the
+    envelope-normalized medians (a last-run-wins summary could lead the BENCH
+    artifact with one contended window's numbers)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+
+    def run(docs, eng, raw_b, raw_q, norm_b=None, norm_q=None, proto="interleaved"):
+        return {
+            "protocol": proto, "docs": docs,
+            "config_fp": f"proto={proto}|mode=local|eng={eng}|aqe=off",
+            "pairs": {"2->8": {
+                "build_scaling_efficiency": raw_b,
+                "query_scaling_efficiency": raw_q,
+                "build_eff_envelope_normalized": norm_b,
+                "query_eff_envelope_normalized": norm_q,
+            }},
+        }
+
+    runs = [
+        run(100000, "r5c", 0.6, 0.7, 0.7, 0.8),
+        run(100000, "r5c", 0.8, 0.9, 0.9, 1.0),
+        run(100000, "r5c", 0.7, 0.8, None, None),   # None never pools
+        run(100000, "r5b", 0.1, 0.1, 0.1, 0.1),     # other engine: excluded
+        run(400000, "r5c", 0.5, 0.8, 0.6, 0.9),
+        run(100000, "r5c", 0.2, 0.2, proto="bestof"),  # other protocol: excluded
+    ]
+    out = bench_mod._interleaved_medians(runs)
+    assert set(out) == {"100k", "400k"}
+    assert out["100k"]["n_runs"] == 3
+    assert out["100k"]["build_eff_median_raw"] == 0.7
+    assert out["100k"]["query_eff_median_raw"] == 0.8
+    # normalized medians skip the run that carries no envelope
+    assert out["100k"]["build_eff_median_envnorm"] == 0.8
+    assert out["100k"]["query_eff_median_envnorm"] == 0.9
+    assert out["400k"] == {
+        "n_runs": 1, "build_eff_median_raw": 0.5, "query_eff_median_raw": 0.8,
+        "build_eff_median_envnorm": 0.6, "query_eff_median_envnorm": 0.9}
