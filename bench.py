@@ -224,9 +224,14 @@ def main() -> None:
     if os.path.exists(scaling_file):
         with open(scaling_file) as fh:
             sc = json.load(fh)
+        last = next(iter(sc["last"]["pairs"].values()), None) if "last" in sc else None
+        if last is not None and sc["last"].get("contaminated"):
+            # the most recent history entry is an invalid measurement — carry
+            # the marker so the artifact can't be read as a regression
+            last = dict(last, contaminated=True)
         extra["scaling"] = {
             "best": next(iter(sc["best"]["pairs"].values()), {}) if "best" in sc else sc.get("pairs"),
-            "last": next(iter(sc["last"]["pairs"].values()), {}) if "last" in sc else None,
+            "last": last,
             "best_each": sc.get("best_each"),
             # per-workload medians over the FULL interleaved history (one
             # efficiency sample per run; different corpus sizes measure
@@ -309,6 +314,10 @@ def _interleaved_medians(runs: list) -> dict:
         if r.get("protocol") != "interleaved":
             continue
         if "eng=r5c" not in r.get("config_fp", ""):
+            continue
+        if r.get("contaminated"):
+            # invalid measurement (e.g. another bench/scaling job ran on the
+            # box concurrently) — recorded for the audit trail, never pooled
             continue
         p = next(iter(r.get("pairs", {}).values()), None)
         if not p:

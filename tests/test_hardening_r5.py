@@ -336,6 +336,9 @@ def test_bench_interleaved_medians_per_workload():
         run(100000, "r5b", 0.1, 0.1, 0.1, 0.1),     # other engine: excluded
         run(400000, "r5c", 0.5, 0.8, 0.6, 0.9),
         run(100000, "r5c", 0.2, 0.2, proto="bestof"),  # other protocol: excluded
+        # invalid measurement (concurrent job on the box): excluded
+        dict(run(400000, "r5c", 0.1, 0.1, 0.1, 0.1),
+             contaminated="another bench ran concurrently"),
     ]
     out = bench_mod._interleaved_medians(runs)
     assert set(out) == {"100k", "400k"}

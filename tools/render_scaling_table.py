@@ -52,7 +52,12 @@ def main() -> None:
         bw = f"{st.median(tr):.1f} / {min(tr):.1f}" if tr else "—"
         w = classify(r, best_bw)
         docs = r.get("docs", 0)
-        rows.append((p["build_scaling_efficiency"], p["query_scaling_efficiency"], w, docs))
+        if r.get("contaminated"):
+            # invalid measurement (concurrent job on the box) — shown in the
+            # table for the audit trail, excluded from every median
+            w = "CONTAMINATED (excluded)"
+        else:
+            rows.append((p["build_scaling_efficiency"], p["query_scaling_efficiency"], w, docs))
         b, q = p["build_scaling_efficiency"], p["query_scaling_efficiency"]
         bs = f"**{b}**" if b >= 0.8 else f"{b}"
         qs = f"**{q}**" if q >= 0.8 else f"{q}"
