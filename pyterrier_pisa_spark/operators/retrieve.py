@@ -40,15 +40,14 @@ def shuffle_parts(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
-def query_terms_df(
-    spark: SparkSession,
+def query_term_rows(
     queries: list[tuple[str, str]],
     stemmer: str = "porter2",
     stopwords=DEFAULT_STOPWORDS,
-) -> DataFrame:
-    """Parse raw queries driver-side (queries are tiny by contract) into a
-    (qid, term, qweight) DataFrame to broadcast. Stopword + OOV drop follow
-    the reference's query-time-only semantics (``_pisathon.cpp:494-505``).
+) -> list[tuple[str, str, float]]:
+    """Parse raw queries driver-side (queries are tiny by contract) into
+    (qid, term, qweight) rows. Stopword + OOV drop follow the reference's
+    query-time-only semantics (``_pisathon.cpp:494-505``).
 
     The stop list is passed through the SAME stemmer before matching: PISA's
     TermProcessor stems each stopword and resolves it to a term id, then
@@ -62,12 +61,22 @@ def query_terms_df(
 
         st = CachedStemmer()
         stops = frozenset(st(w) for w in stops)
-    rows = tokenize_queries(queries, stemmer=stemmer, stopwords=stops)
+    return tokenize_queries(queries, stemmer=stemmer, stopwords=stops)
+
+
+def query_terms_df(
+    spark: SparkSession,
+    queries: list[tuple[str, str]],
+    stemmer: str = "porter2",
+    stopwords=DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """``query_term_rows`` as a (qid, term, qweight) DataFrame to broadcast."""
+    rows = query_term_rows(queries, stemmer=stemmer, stopwords=stopwords)
     return spark.createDataFrame(rows or [], schema="qid string, term string, qweight double")
 
 
-def query_toks_df(spark: SparkSession, queries_toks: list[tuple[str, dict]],
-                  toks_scale: float = 100.0) -> DataFrame:
+def query_toks_rows(queries_toks: list[tuple[str, dict]],
+                    toks_scale: float = 100.0) -> list[tuple[str, str, float]]:
     """Pretokenized query path (reference ``__init__.py:485-495`` +
     ``_pisathon.cpp:463-492``): weights scaled by toks_scale then truncated to
     int (term repeated int(w) times == weight multiplier int(w)); no
@@ -78,6 +87,13 @@ def query_toks_df(spark: SparkSession, queries_toks: list[tuple[str, dict]],
             iw = int(float(w) * toks_scale)
             if iw > 0:
                 rows.append((str(qid), str(term), float(iw)))
+    return rows
+
+
+def query_toks_df(spark: SparkSession, queries_toks: list[tuple[str, dict]],
+                  toks_scale: float = 100.0) -> DataFrame:
+    """``query_toks_rows`` as a (qid, term, qweight) DataFrame to broadcast."""
+    rows = query_toks_rows(queries_toks, toks_scale=toks_scale)
     return spark.createDataFrame(rows or [], schema="qid string, term string, qweight double")
 
 
@@ -169,8 +185,11 @@ def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
 def finalize(results: DataFrame, docmap: DataFrame, queries_df: DataFrame | None = None) -> DataFrame:
     """docid -> docno decode + join-back of query columns (reference
     R13/R14, ``_pisathon.cpp:434,523`` + ``__init__.py:517-521``); float32
-    score dtype pinned by the reference (``__init__.py:500-503``)."""
-    out = results.join(docmap.select("docid", "docno"), "docid")
+    score dtype pinned by the reference (``__init__.py:500-503``).
+
+    The decode join broadcasts the BOUNDED top-k side (queries x k rows) so
+    the corpus-sized docmap is never shuffled at scale (guide §3.1)."""
+    out = docmap.select("docid", "docno").join(F.broadcast(results), "docid")
     if queries_df is not None:
         out = out.join(F.broadcast(queries_df), "qid")
     cols = ["qid"] + (["query"] if queries_df is not None else []) + ["docid", "docno", "score", "rank"]

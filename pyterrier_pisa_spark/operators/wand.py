@@ -218,7 +218,8 @@ def make_query_kernel(qinfo: dict, partial, codec, k: int,
 
 def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
                       conjunctive: bool = False, query_block: int = 64,
-                      dense_cells: int = 8 << 20):
+                      dense_cells: int = 8 << 20, n_qgroups: int = 1,
+                      emit_rank: bool = False):
     """Kernel for the docid-partitioned BATCH mode: each task holds one chunk
     group's blocks (every block lies entirely inside one chunk by build
     contract) and scores ALL queries against them.
@@ -238,7 +239,15 @@ def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
     Emits local top-k per (task, query) as ONE DataFrame per task; the global
     window keeps the true top-k (exact: a doc in the global top-k is
     necessarily in its task's local top-k, under the same float32-granularity
-    ordering)."""
+    ordering).
+
+    ``n_qgroups`` > 1 adds a QUERY-group task dimension for indexes whose
+    chunk count is below the shuffle width (small/mid corpora: every doc in
+    one chunk => the whole batch otherwise runs as ONE task): each task
+    scores the query subset ``qidx % n_qgroups == qgrp`` against its chunks.
+    Exact by construction — every (query, doc) pair is still scored in
+    exactly one task (a doc's chunk x the query's group), so the local top-k
+    / global window merge is unchanged."""
     tid_stat = {}
     for terms in qinfo.values():
         for (tid, _qw, st, *_rest) in terms:
@@ -259,11 +268,20 @@ def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return _empty_frame()
+        # query subset for this task (qgrp column present iff n_qgroups > 1)
+        if n_qgroups > 1:
+            qsel = np.arange(int(pdf["qgrp"].iloc[0]), len(qids), n_qgroups)
+        else:
+            qsel = np.arange(len(qids))
+        if qsel.size == 0:
+            return _empty_frame()
+        Qw_s, Qinc_s, need_s = Qw[qsel], Qinc[qsel], need[qsel]
+        nq = qsel.size
         # per-query candidate accumulation ACROSS the task's chunks, so each
         # query emits AT MOST k rows per task (not per chunk) — the local
         # top-k merges over chunks before anything is shuffled
-        q_docids: list[list] = [[] for _ in qids]
-        q_scores: list[list] = [[] for _ in qids]
+        q_docids: list[list] = [[] for _ in range(nq)]
+        q_scores: list[list] = [[] for _ in range(nq)]
         for chunk, cpdf in pdf.groupby("chunk"):
             base = int(chunk) * chunk_span
             # ALL of the chunk's blocks decode + score in ONE segment-batched
@@ -295,8 +313,8 @@ def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
             t_block = max(1, min(n_terms, dense_cells // max(1, ncols)))
             span_rows.sort(key=lambda r: r[0])
             docids = base + all_loc
-            for q0 in range(0, len(qids), query_block):
-                q1 = min(q0 + query_block, len(qids))
+            for q0 in range(0, nq, query_block):
+                q1 = min(q0 + query_block, nq)
                 S_blk = np.zeros((q1 - q0, ncols), dtype=np.float64)
                 C_blk = np.zeros((q1 - q0, ncols), dtype=np.float64)
                 si = 0
@@ -314,11 +332,11 @@ def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
                         M[trow - t0, cols] = s
                         P[trow - t0, cols] = 1.0
                         si += 1
-                    S_blk += Qw[q0:q1, t0:t1] @ M   # (blk x docs) scores
-                    C_blk += Qinc[q0:q1, t0:t1] @ P  # (blk x docs) match counts
+                    S_blk += Qw_s[q0:q1, t0:t1] @ M   # (blk x docs) scores
+                    C_blk += Qinc_s[q0:q1, t0:t1] @ P  # (blk x docs) match counts
                 for bi in range(q1 - q0):
                     qi = q0 + bi
-                    sel = C_blk[bi] >= need[qi]
+                    sel = C_blk[bi] >= need_s[qi]
                     if not sel.any():
                         continue
                     loc = np.flatnonzero(sel)
@@ -336,26 +354,34 @@ def make_batch_kernel(qinfo: dict, partial, codec, k: int, chunk_span: int,
         # (groups x queries x k rows), so qid travels as a small int index
         # (restored to the string after the global window) and no rank
         # column is emitted (the window recomputes it anyway)
-        o_q, o_d, o_s = [], [], []
-        for qi in range(len(qids)):
+        o_q, o_d, o_s, o_r = [], [], [], []
+        for qi in range(nq):
             if not q_docids[qi]:
                 continue
             d = np.concatenate(q_docids[qi])
             sc = np.concatenate(q_scores[qi])
             kk = min(k, d.size)
             order = np.lexsort((d, -sc.astype(np.float32)))[:kk]
-            o_q.append(np.full(kk, qi, dtype=np.int32))
+            o_q.append(np.full(kk, qsel[qi], dtype=np.int32))
             o_d.append(d[order])
             o_s.append(sc[order])
+            if emit_rank:  # single-task-per-query mode: local rank IS global
+                o_r.append(np.arange(kk, dtype=np.int32))
         if not o_q:
-            return pd.DataFrame({"qidx": pd.Series(dtype=np.int32),
-                                 "docid": pd.Series(dtype=np.int64),
-                                 "score": pd.Series(dtype=np.float64)})
-        return pd.DataFrame({
+            out = {"qidx": pd.Series(dtype=np.int32),
+                   "docid": pd.Series(dtype=np.int64),
+                   "score": pd.Series(dtype=np.float64)}
+            if emit_rank:
+                out["rank"] = pd.Series(dtype=np.int32)
+            return pd.DataFrame(out)
+        out = {
             "qidx": np.concatenate(o_q),
             "docid": np.concatenate(o_d),
             "score": np.concatenate(o_s),
-        })
+        }
+        if emit_rank:
+            out["rank"] = np.concatenate(o_r)
+        return pd.DataFrame(out)
 
     return kernel
 
@@ -368,7 +394,7 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords,
     ``queries_toks`` = [(qid, {term: weight})] routes the PRETOKENIZED path
     (reference ``__init__.py:480-495`` + ``_pisathon.cpp:463-492``): weights
     scaled by ``toks_scale`` and truncated to int, NO stemming/stopwords."""
-    from ..sources.index_store import ensure_term_stats
+    from ..sources.index_store import driver_term_table, ensure_term_stats
 
     spark = index.docmap.sparkSession
     meta = index.meta
@@ -376,24 +402,44 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords,
     b = meta["scorer"].get("b", 0.4) if b is None else b
 
     if queries_toks is not None:
-        from .retrieve import query_toks_df
+        from .retrieve import query_toks_rows
 
-        qterms = query_toks_df(spark, queries_toks, toks_scale=toks_scale)
+        rows = query_toks_rows(queries_toks, toks_scale=toks_scale)
     else:
-        qterms = query_terms_df(spark, queries, stemmer=meta.get("stemmer", "porter2"),
-                                stopwords=stopwords)
-    stat_col = S.term_stat_col(scorer)
-    ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
-    lex = index.lexicon.select("term", "term_id", F.col(stat_col).alias("stat")).join(
-        ts.withColumnRenamed("max_score", "ms").withColumnRenamed("min_score", "mn"),
-        "term_id", "left"
-    ).fillna({"ms": 0.0, "mn": 0.0})
-    matched = (
-        F.broadcast(qterms)
-        .join(lex, "term")
-        .select("qid", "term_id", "qweight", "stat", "ms", "mn")
-        .collect()
-    )
+        from .retrieve import query_term_rows
+
+        rows = query_term_rows(queries, stemmer=meta.get("stemmer", "porter2"),
+                               stopwords=stopwords)
+    # qterms ⋈ lexicon ⋈ scorer term-stats: vocab-sized lexicons resolve
+    # DRIVER-SIDE (pyarrow term table cached on the index — zero Spark jobs
+    # per batch; the per-batch broadcast-join + collect job was a fixed
+    # ~0.4 s of every retrieve call); above the gate the same lookup runs as
+    # the original broadcast join (identical values)
+    tbl = driver_term_table(index, scorer, k1, b, mu, c)
+    if tbl is not None:
+        import pandas as _pd
+
+        pos = tbl["index"].get_indexer(_pd.Index([t for (_q, t, _w) in rows]))
+        matched = [
+            {"qid": qid, "term_id": tbl["term_id"][p], "qweight": qw,
+             "stat": tbl["stat"][p], "ms": tbl["ms"][p], "mn": tbl["mn"][p]}
+            for (qid, _t, qw), p in zip(rows, pos) if p >= 0
+        ]
+    else:
+        qterms = spark.createDataFrame(
+            rows or [], schema="qid string, term string, qweight double")
+        stat_col = S.term_stat_col(scorer)
+        ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
+        lex = index.lexicon.select("term", "term_id", F.col(stat_col).alias("stat")).join(
+            ts.withColumnRenamed("max_score", "ms").withColumnRenamed("min_score", "mn"),
+            "term_id", "left"
+        ).fillna({"ms": 0.0, "mn": 0.0})
+        matched = (
+            F.broadcast(qterms)
+            .join(lex, "term")
+            .select("qid", "term_id", "qweight", "stat", "ms", "mn")
+            .collect()
+        )
     partial = S.np_partial_fn(scorer, index.stats, k1, b, mu, c)
     # stored per-block maxima are trusted only when they were computed for
     # THIS (scorer, params): the build scorer (bm25 at build k1/b) or a
@@ -431,12 +477,24 @@ def _query_plan_inputs(index, queries, k1, b, mu, c, scorer, stopwords,
 
 
 def _finalize_blockmax(spark, index, local: DataFrame, queries, k,
-                       include_query, cast_float32) -> DataFrame:
-    """Local per-group top-ks -> global window top-k -> docno decode."""
+                       include_query, cast_float32,
+                       local_is_global: bool = False) -> DataFrame:
+    """Local per-group top-ks -> global window top-k -> docno decode.
+
+    ``local_is_global``: the caller proved every query's candidates land in
+    ONE kernel task (single-docid-chunk index), so the kernel's local top-k
+    IS the global top-k with identical (float32 score DESC, docid ASC) ranks
+    — the window merge (one full exchange) is skipped outright (guide §2.4).
+
+    The docno join BROADCASTS the top-k side (bounded at queries x k rows by
+    construction): docmap then streams through a BroadcastHashJoin probe —
+    at scale the docmap is corpus-sized and must be neither shuffled
+    (sort-merge) nor collected (auto-broadcast picks the wrong side when the
+    estimate is off, guide §3.1)."""
     from ..operators.retrieve import topk as _topk_plan
 
-    top = _topk_plan(local.drop("rank"), k)
-    out = top.join(index.docmap.select("docid", "docno"), "docid")
+    top = local if local_is_global else _topk_plan(local.drop("rank"), k)
+    out = index.docmap.select("docid", "docno").join(F.broadcast(top), "docid")
     # reference pins float32 result dtype (__init__.py:500-503); keep double
     # when the caller compares against a double-precision oracle
     score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
@@ -530,8 +588,12 @@ def retrieve_blockmax(
         "qid", "task_group").applyInPandas(
         kernel, schema="qid string, docid long, score double, rank int"
     )
+    # single-chunk index => a query's candidates all share task_group 0: the
+    # kernel's local top-k (already ranked under the engine-wide order) IS
+    # the global answer — skip the window merge exchange (guide §2.4)
+    single_chunk = int(index.stats["num_docs"]) <= int(_span)
     return _finalize_blockmax(spark, index, local, queries, k, include_query,
-                              cast_float32)
+                              cast_float32, local_is_global=single_chunk)
 
 
 def retrieve_blockmax_batch(
@@ -570,30 +632,60 @@ def retrieve_blockmax_batch(
         return _empty_result(spark, include_query, cast_float32)
 
     cand, chunk_span = _with_task_group(index, tids)
+    # QUERY-group dimension when the corpus has fewer docid chunks than the
+    # shuffle width (small/mid corpora: every doc lives in chunk 0 and the
+    # dense batch kernel would otherwise serialize on ONE task). Queries are
+    # independent, so splitting the batch across tasks is exact; candidate
+    # blocks replicate n_qgroups x in the shuffle — by construction only when
+    # chunks are scarce, i.e. when the candidate set is small. At scale
+    # (chunks >= shuffle width) n_qgroups == 1 and the plan is unchanged.
+    from .retrieve import shuffle_parts
+
+    sp_ = shuffle_parts(spark)
+    n_chunks = max(1, -(-int(index.stats["num_docs"]) // chunk_span))
+    n_qgroups = 1
+    if n_chunks < sp_:
+        n_qgroups = max(1, min(len(qinfo), -(-sp_ // n_chunks)))
+    # single-chunk index: every query is scored by exactly one task, so the
+    # kernel's local top-k IS the global answer — it emits ranks directly and
+    # the window merge exchange is skipped below (guide §2.4)
+    single_chunk = n_chunks == 1
     kernel = make_batch_kernel(qinfo, partial, codec, k, chunk_span,
-                               conjunctive=conjunctive)
+                               conjunctive=conjunctive, n_qgroups=n_qgroups,
+                               emit_rank=single_chunk)
     # explicit repartition: same AQE-coalescing exemption as the per-query
     # path — without it the kernel runs as one task on small candidate sets;
     # shuffle-partitions-sized so ~each task group lands in its own task
     # (hash collisions at defaultParallelism-sized bins skew the kernel
     # phase and cap the speedup from added cores)
-    from .retrieve import shuffle_parts
-
-    local = cand.repartition(shuffle_parts(spark), "task_group").groupBy(
-        "task_group").applyInPandas(
-        kernel, schema="qidx int, docid long, score double"
+    if n_qgroups > 1:
+        cand = cand.withColumn(
+            "qgrp", F.explode(F.sequence(F.lit(0), F.lit(n_qgroups - 1))))
+        group_keys = ["task_group", "qgrp"]
+    else:
+        group_keys = ["task_group"]
+    schema = "qidx int, docid long, score double" + (
+        ", rank int" if single_chunk else "")
+    local = cand.repartition(sp_, *group_keys).groupBy(*group_keys).applyInPandas(
+        kernel, schema=schema
     )
     # global top-k over the int query index, then restore the qid string via
     # a tiny broadcast map (the window shuffles groups*queries*k rows — the
-    # narrow qidx column keeps that transfer small)
+    # narrow qidx column keeps that transfer small); single-chunk indexes
+    # skip the window outright (kernel ranks are already global)
     from ..operators.retrieve import topk as _topk_plan
 
-    top = _topk_plan(local.withColumnRenamed("qidx", "qid"), k) \
-        .withColumnRenamed("qid", "qidx")
+    if single_chunk:
+        top = local
+    else:
+        top = _topk_plan(local.withColumnRenamed("qidx", "qid"), k) \
+            .withColumnRenamed("qid", "qidx")
     qmap = spark.createDataFrame(
         [(qi, qid) for qi, qid in enumerate(qinfo)], schema="qidx int, qid string")
     top = top.join(F.broadcast(qmap), "qidx").drop("qidx")
-    out = top.join(index.docmap.select("docid", "docno"), "docid")
+    # broadcast the bounded top-k side; the corpus-sized docmap streams
+    # (see _finalize_blockmax)
+    out = index.docmap.select("docid", "docno").join(F.broadcast(top), "docid")
     score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
     if include_query:
         qdf = spark.createDataFrame(queries, schema="qid string, query string")

@@ -42,7 +42,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -156,6 +156,9 @@ def build_index(
     from ..operators.retrieve import shuffle_parts
 
     sp_ = num_partitions or shuffle_parts(spark)
+    _gate_thread = None   # concurrent docid-distinct gate (id_col builds)
+    _gate_out: dict = {}
+    _tf_payload = None    # tf marker payload, committed once the gate passes
     if not _phase_done(path, "tf"):
         from pyspark.sql import Observation
 
@@ -208,23 +211,32 @@ def build_index(
         # Hard gate on docid assignment. When WE assigned the ids
         # (id_col None), prepare_corpus already proved docno uniqueness and
         # assign_dense_ids emits exactly 0..n-1, so the Observation's
-        # min/max/count riding the write suffice — the countDistinct job
-        # here was a full extra fwd scan of pure serial build time. A
-        # CALLER-supplied id column is unproven: it gets the distinct check.
-        if id_col is not None:
-            nd = fwd_r.agg(F.countDistinct("docid").alias("nd")).collect()[0]["nd"]
-            dense_ok = nd == ndocs
+        # min/max/count riding the write suffice. A CALLER-supplied id column
+        # is unproven: it gets the distinct check — launched as a CONCURRENT
+        # job (guide §2.6) so its full fwd scan overlaps the lexicon phase
+        # instead of serializing the build; the result is asserted (and the
+        # tf marker committed) before any phase marker is written, so a
+        # failed gate still aborts the build with nothing committed.
+        if id_col is not None and ndocs:
+            from pyspark import InheritableThread
+
+            def _distinct_gate():
+                spark.sparkContext.setJobDescription("build: docid-distinct gate")
+                _gate_out["nd"] = fwd_r.agg(
+                    F.countDistinct("docid").alias("nd")).collect()[0]["nd"]
+
+            _gate_thread = InheritableThread(target=_distinct_gate, daemon=True)
+            _gate_thread.start()
         else:
-            nd = ndocs
             dense_ok = ndocs == 0 or (agg["mn"] == 0 and agg["mx"] == ndocs - 1)
-        if ndocs and not dense_ok:
-            raise AssertionError(
-                f"docid assignment corrupted: n={ndocs} distinct={nd} "
-                f"min={agg['mn']} max={agg['mx']}")
+            if ndocs and not dense_ok:
+                raise AssertionError(
+                    f"docid assignment corrupted: n={ndocs} "
+                    f"min={agg['mn']} max={agg['mx']}")
         _append_metrics(spark, path, "tf", [("tf", -1, ndocs, nposts, 0, time.time())])
-        _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts,
-                                   "total_doclen": int(agg["total_dl"] or 0),
-                                   "sec": time.time() - t0})
+        _tf_payload = {"num_docs": ndocs, "tf_rows": nposts,
+                       "total_doclen": int(agg["total_dl"] or 0),
+                       "sec": time.time() - t0}
 
     if os.path.exists(os.path.join(path, "fwd")):
         fwd = spark.read.parquet(os.path.join(path, "fwd"))
@@ -240,13 +252,32 @@ def build_index(
         tf = spark.read.parquet(os.path.join(path, "tf"))
         docmap = spark.read.parquet(os.path.join(path, "docmap"))
 
+    def _finish_gate_commit_tf():
+        """Join the concurrent distinct gate (asserting the caller-supplied
+        ids were unique) and only then commit the tf marker — called before
+        ANY phase marker is written, so resume can never skip the gate."""
+        nonlocal _gate_thread, _tf_payload
+        if _gate_thread is not None:
+            _gate_thread.join()
+            nd = _gate_out.get("nd")
+            _gate_thread = None
+            if nd != _tf_payload["num_docs"]:
+                raise AssertionError(
+                    f"docid assignment corrupted: n={_tf_payload['num_docs']} "
+                    f"distinct={nd}")
+        if _tf_payload is not None:
+            _commit_phase(path, "tf", _tf_payload)
+            _tf_payload = None
+
     # ----------------------------------------------------- phase 2: lexicon
+    small_lex_pdf = None  # driver-built lexicon handed to phases 3/4
     if not _phase_done(path, "lexicon"):
         t1 = time.time()
         # collection stats rode the phase-1 write's Observation when this
         # build ran phase 1 (batch path); streaming/CIFF ingest markers lack
         # them -> one agg over docmap as the fallback
-        tfm = json.load(open(_marker(path, "tf"))) if _phase_done(path, "tf") else {}
+        tfm = _tf_payload or (
+            json.load(open(_marker(path, "tf"))) if _phase_done(path, "tf") else {})
         if "total_doclen" in tfm:
             nd, tot = int(tfm["num_docs"]), int(tfm["total_doclen"])
             stats = {"num_docs": nd, "total_doclen": tot,
@@ -290,6 +321,7 @@ def build_index(
                     preserve_index=False),
                 os.path.join(ldir, "part-00000.parquet"))
             stats["num_terms"] = len(pdf)
+            small_lex_pdf = pdf
         else:
             agg = agg.persist()  # freeze for the range sampler + count
             n = agg.count()
@@ -302,8 +334,10 @@ def build_index(
             agg.unpersist()
         _append_metrics(spark, path, "lexicon",
                         [("lexicon", -1, stats["num_docs"], stats["num_terms"], 0, time.time())])
+        _finish_gate_commit_tf()  # gate job overlapped this whole phase
         _commit_phase(path, "lexicon", {"stats": stats, "sec": time.time() - t1})
 
+    _finish_gate_commit_tf()  # no-op unless phase 2 was skipped
     stats = json.load(open(_marker(path, "lexicon")))["stats"]
     lexicon = spark.read.parquet(os.path.join(path, "lexicon"))
 
@@ -311,7 +345,8 @@ def build_index(
     if not _phase_done(path, "postings"):
         t1 = time.time()
         agg = _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b,
-                              chunk_span, num_partitions, encoding)
+                              chunk_span, num_partitions, encoding,
+                              lex_pdf=small_lex_pdf)
         _append_metrics(spark, path, "postings",
                         [("postings", -1, agg["blocks"], agg["postings"] or 0, agg["bytes"] or 0, time.time())])
         _commit_phase(path, "postings", {"blocks": agg["blocks"], "postings": int(agg["postings"] or 0),
@@ -336,8 +371,11 @@ def build_index(
             blk = pads.dataset(os.path.join(path, "postings")).to_table(
                 columns=["term_id", "block_max_score"]).to_pandas()
             max_rest = blk.groupby("term_id")["block_max_score"].max()
-            lexp = pads.dataset(_table_path(path, {}, "lexicon")).to_table(
-                columns=["term_id", "df"]).to_pandas().set_index("term_id")["df"]
+            if small_lex_pdf is not None:  # phase-2 output is still in memory
+                lexp = small_lex_pdf.set_index("term_id")["df"]
+            else:
+                lexp = pads.dataset(_table_path(path, {}, "lexicon")).to_table(
+                    columns=["term_id", "df"]).to_pandas().set_index("term_id")["df"]
             lexp = lexp.loc[max_rest.index]
             nd = float(stats["num_docs"])
             idf_v = np.maximum(S.IDF_EPS,
@@ -513,7 +551,7 @@ def make_block_packer(codec, block_size: int, blocks_per_chunk: int,
 
 
 def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_span,
-                    num_partitions, encoding="varint") -> dict:
+                    num_partitions, encoding="varint", lex_pdf=None) -> dict:
     """The invert: ONE map-side-combined aggregation shuffle, then vectorized
     block packing — with CHUNK-LOCAL blocks.
 
@@ -580,7 +618,16 @@ def _build_postings(spark, path, tf, lexicon, stats, block_size, k1, b, chunk_sp
     #     are unique within a group), replacing the global sort with many
     #     tiny C-side ones
     chunk_expr = (F.col("docid") / F.lit(chunk_span)).cast("long").alias("chunk")
-    tf2 = tf.join(lexicon.select("term", "term_id"), "term").select(
+    # term -> term_id map: when phase 2 just built the lexicon DRIVER-SIDE
+    # (small-vocab path) the pandas frame is still in memory — an explicit
+    # broadcast of it skips the parquet read-back job; otherwise read the
+    # lexicon table and let the planner pick the join strategy
+    if lex_pdf is not None:
+        lex_map = F.broadcast(spark.createDataFrame(
+            lex_pdf[["term", "term_id"]], schema="term string, term_id long"))
+    else:
+        lex_map = lexicon.select("term", "term_id")
+    tf2 = tf.join(lex_map, "term").select(
         "term_id", chunk_expr, "docid",
         F.shiftleft(F.col("tf").cast("long"), 32).bitwiseOR(
             F.col("doclen").cast("long")).alias("tfdl"),
@@ -679,8 +726,14 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     stat_col = S.term_stat_col(scorer)
     codec = get_codec(meta.get("encoding"))
 
-    ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
-    gmax = float(ts.agg(F.max("max_score")).collect()[0][0])
+    # global max partial: driver-side over the vocab-sized term table when it
+    # fits (zero Spark jobs; same max the agg would compute), else the agg
+    tbl = driver_term_table(index, scorer, k1, b, mu, c)
+    if tbl is not None:
+        gmax = float(np.max(tbl["ms"])) if len(tbl["ms"]) else 0.0
+    else:
+        ts = ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
+        gmax = float(ts.agg(F.max("max_score")).collect()[0][0])
     if not (gmax > 0):
         raise ValueError(f"cannot quantize: global max {scorer} partial is {gmax}")
     levels = float((1 << bits) - 1)
@@ -726,9 +779,27 @@ def quantize_index(index: "PersistedIndex", dst_path: str, scorer: str = "bm25",
     out.write.mode("overwrite") \
         .option("parquet.block.size", str(POSTINGS_PARQUET_BLOCK_BYTES)) \
         .parquet(os.path.join(dst_path, "postings"))
-    pc = spark.read.parquet(os.path.join(dst_path, "postings"))
-    term_stats = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_score"))
-    term_stats.write.mode("overwrite").parquet(os.path.join(dst_path, "term_stats"))
+    # term max impacts: same driver-vs-distributed gate as the build's phase 4
+    # (the input is two pruned columns of the block table — below ~20M blocks
+    # one pyarrow read replaces a whole Spark agg job of fixed serial cost)
+    nblocks = json.load(open(_marker(index.path, "postings"))).get("blocks", 1 << 62) \
+        if _phase_done(index.path, "postings") else (1 << 62)
+    if nblocks <= 20_000_000:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        blk = _read_parquet_pandas(os.path.join(dst_path, "postings"),
+                                   ["term_id", "block_max_score"])
+        ts_pdf = blk.groupby("term_id", as_index=False)["block_max_score"].max() \
+            .rename(columns={"block_max_score": "max_score"})
+        tdir = os.path.join(dst_path, "term_stats")
+        os.makedirs(tdir, exist_ok=True)
+        papq.write_table(pa.Table.from_pandas(ts_pdf, preserve_index=False),
+                         os.path.join(tdir, "part-00000.parquet"))
+    else:
+        pc = spark.read.parquet(os.path.join(dst_path, "postings"))
+        term_stats = pc.groupBy("term_id").agg(F.max("block_max_score").alias("max_score"))
+        term_stats.write.mode("overwrite").parquet(os.path.join(dst_path, "term_stats"))
 
     for name in ("tf", "lexicon", "postings", "maxscore"):
         if _phase_done(index.path, name):
@@ -817,6 +888,81 @@ def ensure_term_stats(index: "PersistedIndex", scorer: str, k1: float = 0.9,
     return spark.read.parquet(cache_dir)
 
 
+# driver-side term-table gate: vocabularies at or below this many terms load
+# the lexicon + scorer stats to the driver ONCE per (index, scorer) with
+# pyarrow, so query planning (the per-batch qterms ⋈ lexicon lookup) is pure
+# Python — ZERO Spark jobs per retrieve call. Mirrors the build's
+# SMALL_VOCAB_MAX driver-side lexicon gate; larger vocabularies keep the
+# distributed broadcast-join path.
+DRIVER_TERM_TABLE_MAX = B.SMALL_VOCAB_MAX
+
+
+def _read_parquet_pandas(path: str, columns: list[str] | None = None):
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path).to_table(columns=columns).to_pandas()
+
+
+def driver_term_table(index: "PersistedIndex", scorer: str, k1: float,
+                      b: float, mu: float, c: float):
+    """(term -> term_id, stat, max_score, min_score) resolved DRIVER-SIDE for
+    vocab-sized lexicons: a pyarrow read of the lexicon + the scorer-keyed
+    term stats (computing/caching them via ``ensure_term_stats`` first if
+    needed), cached per (index, scorer-params). Returns a dict of aligned
+    numpy arrays {'index': pd.Index(term), 'term_id', 'stat', 'ms', 'mn'} or
+    None above ``DRIVER_TERM_TABLE_MAX`` (callers fall back to the Spark
+    broadcast-join path — same values, one job)."""
+    import pandas as _pd
+
+    meta = index.meta
+    nt = (index.stats or {}).get("num_terms")
+    if nt is None or int(nt) > DRIVER_TERM_TABLE_MAX:
+        return None
+    key = (scorer, float(k1), float(b), float(mu), float(c))
+    cache = index._driver_cache
+    if key in cache:
+        return cache[key]
+    lex_pdf = cache.get("_lexicon")
+    if lex_pdf is None:
+        lp = _table_path(index.path, meta, "lexicon")
+        lex_pdf = _read_parquet_pandas(lp, ["term", "term_id", "df", "cf"])
+        cache["_lexicon"] = lex_pdf
+    built = meta["scorer"].get("name", "bm25")
+    fast = (scorer == "bm25" and built == "bm25"
+            and k1 == meta["scorer"].get("k1") and b == meta["scorer"].get("b")) \
+        or (scorer == "quantized" and built == "quantized")
+    if fast:
+        # bm25-at-build-params / quantized-on-quantized: the stored term_stats
+        # ARE this scorer's maxima; partials provably non-negative -> mn = 0
+        ts_pdf = _read_parquet_pandas(os.path.join(index.path, "term_stats"),
+                                      ["term_id", "max_score"])
+        ts_pdf = ts_pdf.assign(min_score=0.0)
+    else:
+        import pyarrow.dataset as pads
+
+        skey = S.scorer_cache_key(scorer, k1, b, mu, c)
+        cdir = os.path.join(index.path, f"term_stats_{skey}")
+        have = os.path.exists(cdir) and \
+            "min_score" in pads.dataset(cdir).schema.names
+        if not have:
+            # one Spark pass computes + persists the scorer-keyed cache
+            # (exactly what the Spark path would do); subsequent loads here
+            # are pure pyarrow reads
+            ensure_term_stats(index, scorer, k1=k1, b=b, mu=mu, c=c)
+        ts_pdf = _read_parquet_pandas(cdir, ["term_id", "max_score", "min_score"])
+    m = lex_pdf.merge(ts_pdf, on="term_id", how="left")
+    stat_col = S.term_stat_col(scorer)
+    tbl = {
+        "index": _pd.Index(m["term"]),
+        "term_id": m["term_id"].to_numpy(np.int64),
+        "stat": m[stat_col].to_numpy(np.float64),
+        "ms": m["max_score"].fillna(0.0).to_numpy(np.float64),
+        "mn": m["min_score"].fillna(0.0).to_numpy(np.float64),
+    }
+    cache[key] = tbl
+    return tbl
+
+
 # ------------------------------------------------------------------ loading
 
 @dataclass
@@ -827,6 +973,8 @@ class PersistedIndex:
     blocks: DataFrame        # packed postings
     docmap: DataFrame
     stats: dict
+    # per-index driver-side term-table cache (``driver_term_table``)
+    _driver_cache: dict = field(default_factory=dict, repr=False)
 
     def flat_tf(self) -> DataFrame:
         """Decode blocks back to (term_id, docid, tf, doclen) — the oracle
