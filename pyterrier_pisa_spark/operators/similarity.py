@@ -50,10 +50,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force: (qid, vec_id, cos, rank). Queries broadcast; ties
     broken (cos DESC, vec_id ASC) like the engine's doc tie-break."""
+    # norms are per-VECTOR: compute them once per row on each side before the
+    # pair blow-up (same expression over the same array -> bit-identical
+    # doubles, so scores and the oracle hash are unchanged; the per-pair work
+    # drops to the dot product alone)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    c = c.select("vec_id", "v", _norm(F.col("v")).alias("_vn"))
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).cast("array<double>").alias("qv"))
+    q = q.select("qid", "qv", _norm(F.col("qv")).alias("_qn"))
     j = c.crossJoin(F.broadcast(q))
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("_vn") * F.col("_qn"))
     scored = j.select("qid", "vec_id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -177,8 +183,12 @@ def lsh_cosine_topk(
     # no nested-loop scan of the corpus
     q = q.withColumn("bucket", F.explode(_probe_buckets(F.col("qbucket"), bits, multiprobe_hamming)))
 
+    # per-vector norms computed once per side before the candidate join
+    # (identical doubles — see cosine_topk)
+    c = c.select("vec_id", "v", "bucket", _norm(F.col("v")).alias("_vn"))
+    q = q.select("qid", "qv", "bucket", _norm(F.col("qv")).alias("_qn"))
     j = c.join(F.broadcast(q), "bucket")
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("_vn") * F.col("_qn"))
     scored = j.select("qid", "vec_id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -209,12 +219,15 @@ def embedding_near_dup(
     c = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
     c = with_bucket(c, "v", planes, out="bucket")
+    # per-vector norm computed once per row BEFORE the pair blow-up
+    # (identical doubles — see cosine_topk)
+    c = c.select("id", "v", "bucket", _norm(F.col("v")).alias("_n"))
     probed = c.withColumn("bucket", F.explode(_probe_buckets(F.col("bucket"), bits, multiprobe_hamming)))
     a, b = c.alias("a"), probed.alias("b")
     # equi-join on bucket (hash/sort-merge, scalable); each hamming<=1 pair
     # matches exactly once (bucket==bucket via probe 0, or the one flipped bit)
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
     return (
         pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
         .filter(F.col("cos") >= threshold)

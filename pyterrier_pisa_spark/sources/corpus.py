@@ -56,7 +56,19 @@ def synth_code_corpus(
     avg_tokens: int = 120,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic (seeded, partition-independent) synthetic corpus."""
+    """Deterministic (seeded, partition-independent) synthetic corpus.
+
+    Layout mirrors a column-prunable source: the metadata columns
+    (repo/path/commit/lang — everything ``docno`` derives from) are pure JVM
+    Column expressions over the id range, and only ``content`` crosses the
+    Python boundary (a pandas UDF of the id alone). Consumers that project
+    metadata — e.g. ``prepare_corpus``'s docno pass — therefore never run
+    the content generator at all, exactly like a pruned parquet scan
+    (guide §4.1: pass only the columns the function needs). Per-doc content
+    is byte-identical to the pre-r6 mapInPandas generator (same per-doc
+    seeded rng stream)."""
+    from pyspark.sql import functions as F
+
     vocab = _vocab()
     nv = len(vocab)
     # Zipf-ish weights over the vocabulary
@@ -66,29 +78,33 @@ def synth_code_corpus(
         num_partitions = min(spark.sparkContext.defaultParallelism, max(1, num_docs // 50))
 
     base = spark.range(0, num_docs, 1, num_partitions)
+    i = F.col("id")
+    lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]),
+                        (i % len(_LANGS)).cast("int") + 1)
+    repo = F.concat(F.lit("org"), (i % 13).cast("string"),
+                    F.lit("/proj"), (i % 7).cast("string"))
+    path = F.concat(F.lit("src/mod_"), (i % 29).cast("string"),
+                    F.lit("/file_"), i.cast("string"), F.lit("."), lang)
+    commit = F.sha1(F.concat(repo, F.lit("/"), path, F.lit(f"#{seed}")))
 
-    def _gen(batches):
-        for pdf in batches:
-            out = []
-            for i in pdf["id"]:
-                i = int(i)
-                rng = np.random.default_rng(seed * 1_000_003 + i)  # per-doc seed: order-independent
-                n_tok = max(5, int(rng.poisson(avg_tokens)))
-                idx = rng.choice(nv, size=n_tok, p=probs)
-                toks = [vocab[j] for j in idx]
-                lines = []
-                for s in range(0, n_tok, 8):
-                    lines.append(" ".join(toks[s : s + 8]) + ("();" if s % 16 else ":"))
-                content = "\n".join(lines)
-                repo = f"org{i % 13}/proj{i % 7}"
-                path = f"src/mod_{i % 29}/file_{i}.{_LANGS[i % len(_LANGS)]}"
-                commit = hashlib.sha1(f"{repo}/{path}#{seed}".encode()).hexdigest()
-                out.append((repo, path, commit, _LANGS[i % len(_LANGS)], content))
-            yield pd.DataFrame(out, columns=["repo", "path", "commit", "lang", "content"])
+    @F.pandas_udf("string")
+    def _content(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            rng = np.random.default_rng(seed * 1_000_003 + i)  # per-doc seed: order-independent
+            n_tok = max(5, int(rng.poisson(avg_tokens)))
+            idx = rng.choice(nv, size=n_tok, p=probs)
+            toks = [vocab[j] for j in idx]
+            lines = []
+            for s in range(0, n_tok, 8):
+                lines.append(" ".join(toks[s : s + 8]) + ("();" if s % 16 else ":"))
+            out.append("\n".join(lines))
+        return pd.Series(out, dtype=object)
 
-    return base.mapInPandas(
-        _gen, schema="repo string, path string, commit string, lang string, content string"
-    )
+    return base.select(
+        repo.alias("repo"), path.alias("path"), commit.alias("commit"),
+        lang.alias("lang"), _content(i).alias("content"))
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
