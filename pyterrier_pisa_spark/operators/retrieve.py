@@ -182,14 +182,34 @@ def topk(scores: DataFrame, k: int = DEFAULT_NUM_RESULTS) -> DataFrame:
     )
 
 
-def finalize(results: DataFrame, docmap: DataFrame, queries_df: DataFrame | None = None) -> DataFrame:
+# docmaps at or below this many docs broadcast on the decode join (a few
+# tens of MB); larger corpora broadcast the bounded top-k side instead and
+# stream the docmap — never shuffle it (guide §3.1)
+DOCMAP_BROADCAST_MAX = 1_000_000
+
+
+def decode_docnos(results: DataFrame, docmap: DataFrame,
+                  num_docs: int | None = None) -> DataFrame:
+    """docid -> docno decode with a size-conditional join side: small corpora
+    broadcast the docmap (probe side builds concurrently with the top-k
+    subtree); large corpora broadcast the BOUNDED top-k (queries x k rows)
+    and stream the corpus-sized docmap through the probe — either way the
+    docmap is never shuffled."""
+    dm = docmap.select("docid", "docno")
+    if num_docs is not None and int(num_docs) <= DOCMAP_BROADCAST_MAX:
+        return results.join(F.broadcast(dm), "docid")
+    return dm.join(F.broadcast(results), "docid")
+
+
+def finalize(results: DataFrame, docmap: DataFrame, queries_df: DataFrame | None = None,
+             num_docs: int | None = None) -> DataFrame:
     """docid -> docno decode + join-back of query columns (reference
     R13/R14, ``_pisathon.cpp:434,523`` + ``__init__.py:517-521``); float32
     score dtype pinned by the reference (``__init__.py:500-503``).
 
-    The decode join broadcasts the BOUNDED top-k side (queries x k rows) so
-    the corpus-sized docmap is never shuffled at scale (guide §3.1)."""
-    out = docmap.select("docid", "docno").join(F.broadcast(results), "docid")
+    The decode join picks its broadcast side from the corpus size
+    (``decode_docnos``) so the docmap is never shuffled at scale."""
+    out = decode_docnos(results, docmap, num_docs)
     if queries_df is not None:
         out = out.join(F.broadcast(queries_df), "qid")
     cols = ["qid"] + (["query"] if queries_df is not None else []) + ["docid", "docno", "score", "rank"]

@@ -486,15 +486,16 @@ def _finalize_blockmax(spark, index, local: DataFrame, queries, k,
     IS the global top-k with identical (float32 score DESC, docid ASC) ranks
     — the window merge (one full exchange) is skipped outright (guide §2.4).
 
-    The docno join BROADCASTS the top-k side (bounded at queries x k rows by
-    construction): docmap then streams through a BroadcastHashJoin probe —
-    at scale the docmap is corpus-sized and must be neither shuffled
-    (sort-merge) nor collected (auto-broadcast picks the wrong side when the
-    estimate is off, guide §3.1)."""
+    The docno decode join picks its broadcast side from the corpus size
+    (``decode_docnos``): small docmaps broadcast (probe builds concurrently
+    with the top-k subtree); corpus-sized docmaps stream against the bounded
+    broadcast top-k — never shuffled, never mis-chosen by a size estimate
+    (guide §3.1)."""
+    from ..operators.retrieve import decode_docnos
     from ..operators.retrieve import topk as _topk_plan
 
     top = local if local_is_global else _topk_plan(local.drop("rank"), k)
-    out = index.docmap.select("docid", "docno").join(F.broadcast(top), "docid")
+    out = decode_docnos(top, index.docmap, index.stats.get("num_docs"))
     # reference pins float32 result dtype (__init__.py:500-503); keep double
     # when the caller compares against a double-precision oracle
     score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
@@ -659,8 +660,15 @@ def retrieve_blockmax_batch(
     # (hash collisions at defaultParallelism-sized bins skew the kernel
     # phase and cap the speedup from added cores)
     if n_qgroups > 1:
-        cand = cand.withColumn(
-            "qgrp", F.explode(F.sequence(F.lit(0), F.lit(n_qgroups - 1))))
+        # replicate each candidate block ONLY to the query groups whose
+        # queries use its term (tiny broadcast tag join — not a full explode):
+        # shuffle bytes and per-task decode work stay proportional to what
+        # each task's query subset actually needs
+        tag_rows = sorted({(int(t[0]), qi % n_qgroups)
+                           for qi, qid in enumerate(qinfo)
+                           for t in qinfo[qid]})
+        tags = spark.createDataFrame(tag_rows, schema="term_id long, qgrp int")
+        cand = cand.join(F.broadcast(tags), "term_id")
         group_keys = ["task_group", "qgrp"]
     else:
         group_keys = ["task_group"]
@@ -683,9 +691,10 @@ def retrieve_blockmax_batch(
     qmap = spark.createDataFrame(
         [(qi, qid) for qi, qid in enumerate(qinfo)], schema="qidx int, qid string")
     top = top.join(F.broadcast(qmap), "qidx").drop("qidx")
-    # broadcast the bounded top-k side; the corpus-sized docmap streams
-    # (see _finalize_blockmax)
-    out = index.docmap.select("docid", "docno").join(F.broadcast(top), "docid")
+    # size-conditional decode join side (see _finalize_blockmax)
+    from ..operators.retrieve import decode_docnos
+
+    out = decode_docnos(top, index.docmap, index.stats.get("num_docs"))
     score_col = F.col("score").cast("float").alias("score") if cast_float32 else F.col("score")
     if include_query:
         qdf = spark.createDataFrame(queries, schema="qid string, query string")

@@ -187,7 +187,7 @@ def retrieve(
         raise ValueError(f"unknown mode {mode!r}")
     top = R.topk(agg, k)
     qdf = spark.createDataFrame(queries, schema="qid string, query string") if include_query else None
-    return R.finalize(top, index.docmap, qdf)
+    return R.finalize(top, index.docmap, qdf, num_docs=index.stats.get("num_docs"))
 
 
 def search(index: LogicalIndex, query: str, **kw) -> DataFrame:
@@ -235,4 +235,4 @@ def retrieve_toks(
     scored = R.attach_scores(qterms, index.tf, index.lexicon, index.stats,
                              scorer=scorer, **scorer_params)
     top = R.topk(R.ranked_or(scored), k)
-    return R.finalize(top, index.docmap, None)
+    return R.finalize(top, index.docmap, None, num_docs=index.stats.get("num_docs"))

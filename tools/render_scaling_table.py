@@ -33,7 +33,10 @@ def main() -> None:
     if not inter:
         print("(no interleaved runs)")
         return
-    probes = [r.get("probe_bw_median_gbps") for r in inter]
+    # best_bw derives the clean/contended classification for EVERY run, so a
+    # contaminated run's probe median must not shift it (ADVICE r5)
+    probes = [r.get("probe_bw_median_gbps") for r in inter
+              if not r.get("contaminated")]
     best_bw = max((p for p in probes if p), default=None)
 
     def eng(r):
@@ -50,13 +53,14 @@ def main() -> None:
         p = next(iter(r["pairs"].values()))
         tr = [q["bw_gbps"] for q in r.get("probe_trace", []) if "bw_gbps" in q]
         bw = f"{st.median(tr):.1f} / {min(tr):.1f}" if tr else "—"
-        w = classify(r, best_bw)
         docs = r.get("docs", 0)
         if r.get("contaminated"):
             # invalid measurement (concurrent job on the box) — shown in the
-            # table for the audit trail, excluded from every median
+            # table for the audit trail, excluded from every median and from
+            # the window classification entirely
             w = "CONTAMINATED (excluded)"
         else:
+            w = classify(r, best_bw)
             rows.append((p["build_scaling_efficiency"], p["query_scaling_efficiency"], w, docs))
         b, q = p["build_scaling_efficiency"], p["query_scaling_efficiency"]
         bs = f"**{b}**" if b >= 0.8 else f"{b}"

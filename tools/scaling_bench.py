@@ -394,7 +394,13 @@ def main() -> None:
         p = next(iter(r.get("pairs", {}).values()), {})
         return p.get("build_scaling_efficiency", 0) + p.get("query_scaling_efficiency", 0)
 
-    hist["best"] = max(hist["runs"], key=_score)
+    # contaminated runs (a concurrent job was detected on the box) stay in
+    # runs[] for the audit trail but are excluded from EVERY pooled
+    # statistic: best, best_each, median_recent, interleaved_summary
+    # (ADVICE r5 — the old writer re-pooled them on every new run)
+    valid = [r for r in hist["runs"] if not r.get("contaminated")] or hist["runs"]
+
+    hist["best"] = max(valid, key=_score)
     hist["last"] = out
     # median over the most recent 3 runs of the SAME workload AND the same
     # measurement methodology (config_fp) — the north-rule evidence is the
@@ -409,7 +415,7 @@ def main() -> None:
                 and set(r.get("pairs", {})) == set(out["pairs"]))
 
     import statistics as _st
-    same = [r for r in hist["runs"] if _same_config(r)][-3:]
+    same = [r for r in valid if _same_config(r)][-3:]
     if same:
         hist["median_recent"] = {
             "workload": {"docs": out["docs"], "avg_tokens": out.get("avg_tokens"),
@@ -424,7 +430,7 @@ def main() -> None:
     # workload+config, each contributing ONE ratio-of-medians efficiency;
     # the summary is their median + the full per-run lists (bimodality is
     # visible from the artifact, not argued around it)
-    inter = [r for r in hist["runs"]
+    inter = [r for r in valid
              if r.get("protocol") == "interleaved" and _same_config(r)]
     if inter:
         eb = [next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in inter]
@@ -473,9 +479,9 @@ def main() -> None:
         }
     hist["best_each"] = {
         "build_scaling_efficiency": max(
-            next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in hist["runs"]),
+            next(iter(r["pairs"].values()))["build_scaling_efficiency"] for r in valid),
         "query_scaling_efficiency": max(
-            next(iter(r["pairs"].values()))["query_scaling_efficiency"] for r in hist["runs"]),
+            next(iter(r["pairs"].values()))["query_scaling_efficiency"] for r in valid),
     }
     with open(sf, "w") as fh:
         json.dump(hist, fh, indent=1)
