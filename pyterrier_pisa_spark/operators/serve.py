@@ -120,6 +120,9 @@ class ShardedLocalSearcher:
                     (F.col("docid_first") >= lo) & (F.col("docid_first") < hi)),
                 docmap=index.docmap.filter(
                     (F.col("docid") >= lo) & (F.col("docid") < hi)),
+                # a filtered VIEW: the pyarrow construction fast path must not
+                # bypass these filters by reading the raw parquet
+                pristine=False,
             )
             self.shards.append(LocalSearcher(view, scorer=scorer, **kw))
 
@@ -186,13 +189,42 @@ class LocalSearcher:
             stops = frozenset(st(w) for w in stops)
         self.stops = stops
 
+        # ---- construction fast path (r6): a PRISTINE index (opened by
+        # load_index, tables = raw parquet reads) constructs entirely
+        # driver-side with pyarrow — zero Spark jobs. Filtered views
+        # (docid-range shards) and over-gate vocabularies keep the Spark
+        # collects (same values, bounded by the same budget guard).
+        from ..sources.index_store import driver_term_table
+        import os as _os
+
+        arrow_tbl = None
+        postings_dir = _os.path.join(index.path, "postings")
+        if getattr(index, "pristine", False) and _os.path.isdir(postings_dir):
+            arrow_tbl = driver_term_table(index, scorer, self.k1, self.b, mu, c)
+
         # ---- size guard: serving replicas hold the index in memory.
         # compressed bytes gate the collect; the dense engine's decoded
         # footprint is ~16 B/posting (int32 docid + float64 partial + slack),
         # gated against the same budget below once counts are known.
-        nbytes = index.blocks.agg(
-            (F.sum(F.length("docids_delta")) + F.sum(F.length("tfs"))
-             + F.sum(F.length("doclens"))).alias("nb")).collect()[0]["nb"] or 0
+        if arrow_tbl is not None:
+            # parquet metadata upper bound of the three binary columns (data
+            # + 4 B/value length prefixes) — conservative, and read without
+            # touching any data page
+            import pyarrow.dataset as pads
+
+            nbytes = 0
+            for frag in pads.dataset(postings_dir).get_fragments():
+                md = frag.metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema in ("docids_delta", "tfs", "doclens"):
+                            nbytes += col.total_uncompressed_size
+        else:
+            nbytes = index.blocks.agg(
+                (F.sum(F.length("docids_delta")) + F.sum(F.length("tfs"))
+                 + F.sum(F.length("doclens"))).alias("nb")).collect()[0]["nb"] or 0
         if nbytes > max_bytes:
             raise MemoryError(
                 f"index postings ~{nbytes/2**30:.1f} GiB exceed the local-"
@@ -201,20 +233,35 @@ class LocalSearcher:
                 "serving replicas")
 
         # ---- term table: term -> (term_id, stat, max_score, min_score)
-        stat_col = S.term_stat_col(scorer)
-        ts = ensure_term_stats(index, scorer, k1=self.k1, b=self.b, mu=mu, c=c)
-        lex = index.lexicon.select(
-            "term", "term_id", F.col(stat_col).alias("stat")).join(
-            ts.withColumnRenamed("max_score", "ms")
-              .withColumnRenamed("min_score", "mn"), "term_id", "left"
-        ).fillna({"ms": 0.0, "mn": 0.0}).toPandas()
+        if arrow_tbl is not None:
+            lex = pd.DataFrame({
+                "term": arrow_tbl["index"].to_numpy(object),
+                "term_id": arrow_tbl["term_id"],
+                "stat": arrow_tbl["stat"],
+                "ms": arrow_tbl["ms"],
+                "mn": arrow_tbl["mn"],
+            })
+        else:
+            stat_col = S.term_stat_col(scorer)
+            ts = ensure_term_stats(index, scorer, k1=self.k1, b=self.b, mu=mu, c=c)
+            lex = index.lexicon.select(
+                "term", "term_id", F.col(stat_col).alias("stat")).join(
+                ts.withColumnRenamed("max_score", "ms")
+                  .withColumnRenamed("min_score", "mn"), "term_id", "left"
+            ).fillna({"ms": 0.0, "mn": 0.0}).toPandas()
         self._terms = {
             r.term: (int(r.term_id), float(r.stat), float(r.ms), float(r.mn))
             for r in lex.itertuples()
         }
 
         # ---- block table, sorted so each term is one contiguous slice
-        blk = index.blocks.select(*_BLOCK_COLS).toPandas()
+        if arrow_tbl is not None:
+            import pyarrow.dataset as pads
+
+            blk = pads.dataset(postings_dir).to_table(
+                columns=list(_BLOCK_COLS)).to_pandas()
+        else:
+            blk = index.blocks.select(*_BLOCK_COLS).toPandas()
         blk = blk.sort_values(["term_id", "block_id"], kind="stable",
                               ignore_index=True)
         self._codec = get_codec(meta.get("encoding"))
@@ -291,7 +338,16 @@ class LocalSearcher:
             self._accD = None
 
         # ---- docid (dense 0..n-1) -> docno as a direct-indexed array
-        dm = index.docmap.select("docid", "docno").orderBy("docid").toPandas()
+        # (scatter by docid — input order is irrelevant, so the fast path
+        # needs no sort)
+        if arrow_tbl is not None:
+            from ..sources.index_store import _read_parquet_pandas, _table_path
+
+            dmp = _table_path(index.path, meta, "docmap") \
+                or _table_path(index.path, meta, "fwd")
+            dm = _read_parquet_pandas(dmp, ["docid", "docno"])
+        else:
+            dm = index.docmap.select("docid", "docno").toPandas()
         docnos = np.empty(int(self.stats["num_docs"]), dtype=object)
         docnos[dm["docid"].to_numpy(np.int64)] = dm["docno"].to_numpy(object)
         self._docnos = docnos

@@ -975,6 +975,11 @@ class PersistedIndex:
     stats: dict
     # per-index driver-side term-table cache (``driver_term_table``)
     _driver_cache: dict = field(default_factory=dict, repr=False)
+    # True only for indexes opened untouched by ``load_index``: their table
+    # DataFrames are plain parquet reads, so driver-side pyarrow fast paths
+    # (serving construction) may read the same files directly. Derived VIEWS
+    # (e.g. docid-range shards with filtered blocks) must set this False.
+    pristine: bool = False
 
     def flat_tf(self) -> DataFrame:
         """Decode blocks back to (term_id, docid, tf, doclen) — the oracle
@@ -1138,4 +1143,5 @@ def load_index(spark: SparkSession, path: str,
         blocks=spark.read.parquet(os.path.join(path, "postings")),
         docmap=_load_docmap(spark, path, meta),
         stats=meta["stats"],
+        pristine=True,
     )
