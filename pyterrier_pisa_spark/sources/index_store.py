@@ -217,6 +217,15 @@ def build_index(
         # instead of serializing the build; the result is asserted (and the
         # tf marker committed) before any phase marker is written, so a
         # failed gate still aborts the build with nothing committed.
+        # range check from the Observation applies to BOTH paths (the id_col
+        # contract is an already-DENSE 0..n-1 id — prepare_corpus docs — and
+        # density is what the single-chunk query fast paths derive chunk
+        # counts from); the distinct check then completes the dense proof
+        dense_ok = ndocs == 0 or (agg["mn"] == 0 and agg["mx"] == ndocs - 1)
+        if ndocs and not dense_ok:
+            raise AssertionError(
+                f"docid assignment corrupted: n={ndocs} "
+                f"min={agg['mn']} max={agg['mx']} (ids must be dense 0..n-1)")
         if id_col is not None and ndocs:
             from pyspark import InheritableThread
 
@@ -227,12 +236,6 @@ def build_index(
 
             _gate_thread = InheritableThread(target=_distinct_gate, daemon=True)
             _gate_thread.start()
-        else:
-            dense_ok = ndocs == 0 or (agg["mn"] == 0 and agg["mx"] == ndocs - 1)
-            if ndocs and not dense_ok:
-                raise AssertionError(
-                    f"docid assignment corrupted: n={ndocs} "
-                    f"min={agg['mn']} max={agg['mx']}")
         _append_metrics(spark, path, "tf", [("tf", -1, ndocs, nposts, 0, time.time())])
         _tf_payload = {"num_docs": ndocs, "tf_rows": nposts,
                        "total_doclen": int(agg["total_dl"] or 0),
