@@ -96,6 +96,42 @@ def test_batch_qgroup_split_matches_exhaustive(spark, one_chunk_idx):
     _cmp(batch.toPandas(), exh)
 
 
+def test_caller_id_gate_rejects_duplicates(spark, tmp_path):
+    """The concurrent docid-distinct gate must still hard-fail a build whose
+    caller-supplied ids collide — and leave NO phase markers behind (resume
+    must not be able to skip the gate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(6).select(
+        (F.col("id") % 5).cast("long").alias("doc_id"),  # 5 collides with 0
+        F.col("id").cast("string").alias("docno"),
+        F.concat(F.lit("text number "), F.col("id").cast("string")).alias("content"),
+    )
+    path = str(tmp_path / "dupidx")
+    with pytest.raises(AssertionError, match="docid assignment corrupted"):
+        build_index(corpus, path, stemmer="none", id_col="doc_id", mode="overwrite")
+    assert not os.path.exists(os.path.join(path, "_phases", "tf.done"))
+    assert not os.path.exists(os.path.join(path, "_phases", "lexicon.done"))
+
+
+def test_caller_id_gate_rejects_sparse(spark, tmp_path):
+    """Non-dense caller ids (the documented contract is dense 0..n-1 — the
+    invariant the single-chunk fast paths derive chunk counts from) must
+    fail loudly at the Observation range check."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(4).select(
+        (F.col("id") * 100_000).cast("long").alias("doc_id"),  # sparse
+        F.col("id").cast("string").alias("docno"),
+        F.concat(F.lit("text number "), F.col("id").cast("string")).alias("content"),
+    )
+    with pytest.raises(AssertionError, match="dense"):
+        build_index(corpus, str(tmp_path / "sparseidx"), stemmer="none",
+                    id_col="doc_id", mode="overwrite")
+
+
 def test_batch_qgroup_conjunctive(spark, one_chunk_idx):
     batch = retrieve_blockmax_batch(one_chunk_idx, QUERIES[:4], k=20,
                                     conjunctive=True, include_query=False).toPandas()
