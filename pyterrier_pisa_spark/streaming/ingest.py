@@ -82,13 +82,20 @@ def compact_stream_index(spark: SparkSession, path: str, **build_kwargs) -> dict
     the stream sink keeps appending independently."""
     from ..sources.index_store import _commit_phase, _marker, build_index
 
-    # mark phase 1 as provided by the stream, clear downstream markers
+    # mark phase 1 as provided by the stream, clear downstream markers.
+    # ONE agg over docmap yields num_docs AND total_doclen together, and
+    # recording total_doclen in the marker lets phase 2 take its stats fast
+    # path instead of re-aggregating docmap — compaction drops from three
+    # full stat scans to two (guide §1.2: fewer passes)
     tf_dir = os.path.join(path, "tf")
     if not os.path.exists(tf_dir):
         raise FileNotFoundError(f"no streamed tf shards at {tf_dir}")
-    ndocs = spark.read.parquet(os.path.join(path, "docmap")).count()
+    row = spark.read.parquet(os.path.join(path, "docmap")).agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("dl")).collect()[0]
+    ndocs, total_dl = int(row["n"]), int(row["dl"] or 0)
     nposts = spark.read.parquet(tf_dir).count()
-    _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts, "streamed": True})
+    _commit_phase(path, "tf", {"num_docs": ndocs, "tf_rows": nposts,
+                               "total_doclen": total_dl, "streamed": True})
     for ph in ("lexicon", "postings", "maxscore"):
         m = _marker(path, ph)
         if os.path.exists(m):
